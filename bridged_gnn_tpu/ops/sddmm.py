@@ -1,0 +1,133 @@
+"""Blocked all-pairs scoring + row top-k (SDDMM-style) for bridge building.
+
+TPU-native replacement for the reference's edge-proposal hot loop
+(main_bridged_graph.py:45-67): for every target node, score it against every
+source node and keep the top-k most similar sources. The reference
+materializes (batch·N_src) pairs through index enumeration; here the scores
+are produced block-by-block on device — pair tensors of shape
+(tile_tar, N_src) only ever exist in VMEM/registers — and a running top-k is
+kept per row.
+
+The scoring function is a caller-provided closure over the (already
+encoded) node embeddings, so the same harness serves both similarity heads:
+
+  * cosine head → score block is one MXU matmul of normalized embeddings;
+  * pair-MLP head (eval mode) → the first Linear decomposes into per-side
+    projections + broadcast add, so a block costs two matmuls + one
+    (tile, N_src, H) elementwise — no N_src·N_tar pair tensor in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def blockwise_pair_scores_topk(
+    score_block_fn: Callable[[jax.Array], jax.Array],
+    num_rows: int,
+    num_cols: int,
+    k: int,
+    row_block: int = 512,
+    col_mask: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Compute per-row top-k of an implicitly defined score matrix.
+
+    Args:
+      score_block_fn: maps row-index block [B] → scores [B, num_cols_padded].
+      num_rows: number of real rows (target nodes).
+      num_cols: number of real columns (source nodes).
+      k: top-k per row.
+      row_block: row tile size (static).
+      col_mask: optional [num_cols_padded] bool — invalid columns score -inf.
+
+    Returns:
+      (values [num_rows_padded, k], indices [num_rows_padded, k]) with rows
+      beyond num_rows containing garbage (callers slice by num_rows).
+    """
+    rows_padded = ((num_rows + row_block - 1) // row_block) * row_block
+    n_blocks = rows_padded // row_block
+    row_ids = jnp.arange(rows_padded, dtype=jnp.int32).reshape(
+        n_blocks, row_block
+    )
+
+    def one_block(idx_block):
+        scores = score_block_fn(idx_block)  # [B, C_pad]
+        c_pad = scores.shape[1]
+        col_valid = jnp.arange(c_pad) < num_cols
+        if col_mask is not None:
+            col_valid = col_valid & col_mask
+        scores = jnp.where(col_valid[None, :], scores, _NEG_INF)
+        vals, idxs = jax.lax.top_k(scores, k)
+        return vals, idxs.astype(jnp.int32)
+
+    vals, idxs = jax.lax.map(one_block, row_ids)
+    return vals.reshape(rows_padded, k), idxs.reshape(rows_padded, k)
+
+
+def cosine_score_block(
+    z_rows: jax.Array, z_cols: jax.Array
+) -> Callable[[jax.Array], jax.Array]:
+    """Score closure for the cosine similarity head.
+
+    ``sigmoid(cos(z_rows[i], z_cols[j]))`` — mirror of reference
+    ``Similar_v2.similarity_cross_domain`` cosine mode (models/models.py:948)
+    with the biasatt residual already folded into the embeddings by the
+    caller. One MXU matmul per block.
+    """
+    zc = z_cols / jnp.maximum(
+        jnp.linalg.norm(z_cols, axis=-1, keepdims=True), 1e-8
+    )
+    zr = z_rows / jnp.maximum(
+        jnp.linalg.norm(z_rows, axis=-1, keepdims=True), 1e-8
+    )
+
+    def fn(idx_block):
+        block = zr[idx_block]  # [B, D]
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if block.dtype == jnp.float32
+            else None
+        )
+        sims = jnp.dot(
+            block, zc.T, preferred_element_type=jnp.float32, precision=prec
+        )
+        return jax.nn.sigmoid(sims)
+
+    return fn
+
+
+def pair_mlp_score_block(
+    a_rows: jax.Array,
+    b_cols: jax.Array,
+    bias1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+) -> Callable[[jax.Array], jax.Array]:
+    """Score closure for the eval-mode pair-MLP head.
+
+    The reference head (models/models.py:918-925) is
+    ``BN(2H) → Linear(2H,128) → BN(128) → ReLU → Linear(128,1) → sigmoid``
+    over concatenated pairs. In eval mode both BatchNorms are affine, so the
+    whole pre-ReLU computation decomposes per side; callers precompute:
+
+      a_rows[i] = (BN1∘)W1_left  · row_embed[i]   (target side, [R, 128])
+      b_cols[j] = (BN1∘)W1_right · col_embed[j]   (source side, [C, 128])
+      bias1     = combined bias after BN2 affine  ([128])
+      w2, b2    = final Linear
+
+    so score(i,j) = sigmoid(w2 · relu(a_rows[i] + b_cols[j] + bias1) + b2).
+    """
+
+    def fn(idx_block):
+        a = a_rows[idx_block]                       # [B, H]
+        h = a[:, None, :] + b_cols[None, :, :] + bias1  # [B, C, H]
+        h = jax.nn.relu(h)
+        logits = jnp.einsum("bch,h->bc", h, w2) + b2
+        return jax.nn.sigmoid(logits)
+
+    return fn

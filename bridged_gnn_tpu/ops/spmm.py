@@ -1,0 +1,168 @@
+"""Sparse matrix × dense matrix aggregation (SpMM) for TPU.
+
+Replaces ``torch_sparse.matmul`` / PyG ``MessagePassing.propagate``
+(reference models/KTGNN.py:303-324, models/models.py:245-263,
+backbones.py:462-473) with two TPU-native execution paths:
+
+  * **dense path** — for graphs that fit (N_pad ≤ ~16k): the adjacency is
+    materialized once as a dense 0/1 matrix and aggregation is a single MXU
+    matmul ``A @ X``. At Bridged-GNN's graph sizes (N≈3-4k) this is the
+    speed-of-light layout: one 3.4k×3.4k×64 bf16 matmul per layer instead of
+    tens of thousands of scatters.
+  * **gather path** — scalable reference: gather ``x[senders]``, weight,
+    ``segment_sum`` by receiver over destination-sorted edges. XLA lowers
+    this to sorted scatter-add; it is also the path that shards over a
+    device mesh (see bridged_gnn_tpu.parallel).
+
+Edge weights (attention coefficients) are supported on both paths; on the
+dense path they are scattered into the adjacency slot grid before the
+matmul, which keeps the FLOPs on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from bridged_gnn_tpu.ops.segment import segment_sum
+
+# Dense adjacency is O(N_pad²); 16k² fp32 = 1 GiB — keep well under that.
+DENSE_MAX_NODES = 8192
+
+
+@struct.dataclass
+class Adjacency:
+    """Cached adjacency operator (built once per graph, reused per layer)."""
+
+    senders: jax.Array      # [E_pad] int32
+    receivers: jax.Array    # [E_pad] int32
+    edge_mask: jax.Array    # [E_pad] bool
+    dense: Optional[jax.Array]  # [N_pad, N_pad] float, dense[dst, src] = 1
+    in_degree: jax.Array    # [N_pad] float (real edges into each node)
+    num_nodes: int = struct.field(pytree_node=False)
+
+    @property
+    def num_nodes_padded(self) -> int:
+        return self.in_degree.shape[0]
+
+    @property
+    def use_dense(self) -> bool:
+        return self.dense is not None
+
+
+def build_adjacency(
+    senders: jax.Array,
+    receivers: jax.Array,
+    edge_mask: jax.Array,
+    num_nodes: int,
+    num_nodes_padded: Optional[int] = None,
+    method: str = "auto",
+    dtype=jnp.float32,
+) -> Adjacency:
+    n_pad = num_nodes_padded or num_nodes
+    w = edge_mask.astype(dtype)
+    in_degree = segment_sum(w, receivers, n_pad, indices_are_sorted=True)
+    if method == "auto":
+        method = "dense" if n_pad <= DENSE_MAX_NODES else "gather"
+    dense = None
+    if method == "dense":
+        dense = (
+            jnp.zeros((n_pad, n_pad), dtype=dtype)
+            .at[receivers, senders]
+            .add(w)
+        )
+    return Adjacency(
+        senders=senders,
+        receivers=receivers,
+        edge_mask=edge_mask,
+        dense=dense,
+        in_degree=in_degree,
+        num_nodes=num_nodes,
+    )
+
+
+def adjacency_from_graph(graph, method: str = "auto") -> Adjacency:
+    return build_adjacency(
+        graph.senders,
+        graph.receivers,
+        graph.edge_mask,
+        graph.num_nodes,
+        graph.num_nodes_padded,
+        method=method,
+    )
+
+
+def spmm(
+    adj: Adjacency,
+    x: jax.Array,
+    reduce: str = "sum",
+    edge_weights: Optional[jax.Array] = None,
+) -> jax.Array:
+    """out[v] = reduce_{(u,v) in E} w_uv * x[u].
+
+    ``reduce`` ∈ {'sum', 'mean'} matching torch_sparse.matmul's reduce modes
+    used by the reference (utils.py:106, SAGEConv aggregation).
+    """
+    n_pad = adj.num_nodes_padded
+    if adj.use_dense:
+        if edge_weights is None:
+            mat = adj.dense
+        else:
+            w = jnp.where(adj.edge_mask, edge_weights, 0).astype(x.dtype)
+            mat = (
+                jnp.zeros((n_pad, n_pad), dtype=x.dtype)
+                .at[adj.receivers, adj.senders]
+                .add(w)
+            )
+        # fp32 inputs keep full precision (default TPU matmul is bf16);
+        # callers opt into bf16 by passing bf16 features.
+        prec = None if x.dtype != jnp.float32 else jax.lax.Precision.HIGHEST
+        out = jnp.dot(
+            mat, x, preferred_element_type=jnp.float32, precision=prec
+        )
+    else:
+        msg = x[adj.senders]
+        if edge_weights is not None:
+            msg = msg * edge_weights.reshape(
+                edge_weights.shape + (1,) * (msg.ndim - edge_weights.ndim)
+            )
+        out = segment_sum(
+            msg, adj.receivers, n_pad, mask=adj.edge_mask,
+            indices_are_sorted=True,
+        )
+    if reduce == "mean":
+        out = out / jnp.maximum(adj.in_degree, 1.0)[:, None]
+    elif reduce != "sum":
+        raise ValueError(f"unknown reduce: {reduce}")
+    return out.astype(x.dtype)
+
+
+def spmm_edges(
+    senders: jax.Array,
+    receivers: jax.Array,
+    edge_mask: jax.Array,
+    x: jax.Array,
+    num_nodes_padded: int,
+    reduce: str = "sum",
+    edge_weights: Optional[jax.Array] = None,
+) -> jax.Array:
+    """One-shot gather/segment SpMM without a prebuilt Adjacency."""
+    msg = x[senders]
+    if edge_weights is not None:
+        msg = msg * edge_weights.reshape(
+            edge_weights.shape + (1,) * (msg.ndim - edge_weights.ndim)
+        )
+    out = segment_sum(
+        msg, receivers, num_nodes_padded, mask=edge_mask,
+        indices_are_sorted=True,
+    )
+    if reduce == "mean":
+        deg = segment_sum(
+            edge_mask.astype(x.dtype), receivers, num_nodes_padded,
+            indices_are_sorted=True,
+        )
+        out = out / jnp.maximum(deg, 1.0)[:, None]
+    return out

@@ -1,0 +1,41 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+A2D_GRAPH = (
+    REFERENCE_DIR + "/data_bridged_graph/office_amazon2dslr_bridged_graph.dat"
+)
+A2D_CKPT = REFERENCE_DIR + "/ckpt/model_AdvLearner_office_amazon2dslr_best.ckpt"
+
+
+@pytest.fixture(scope="session")
+def a2d_dict():
+    from bridged_gnn_tpu.io import load_pyg_data_dict
+
+    return load_pyg_data_dict(A2D_GRAPH)
+
+
+@pytest.fixture(scope="session")
+def a2d_ckpt():
+    from bridged_gnn_tpu.io import load_torch_state_dict
+
+    return load_torch_state_dict(A2D_CKPT)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
