@@ -18,4 +18,10 @@ hot paths, and `shard_map` device-mesh parallelism for multi-chip scale.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Parity with the fp32 reference requires true-fp32 matmuls; the TPU default
+# (bf16 passes) is opted into explicitly on perf paths by passing bf16 data.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from bridged_gnn_tpu.graph import Graph, build_graph  # noqa: F401

@@ -1,0 +1,294 @@
+"""Baseline GNN zoo for stage-2 comparison runs.
+
+TPU-native counterparts of the reference backbone collection
+(models/backbones.py): GCN, GraphSAGE, GAT, GATv2, GIN, JKNet, APPNP, MLP.
+All models consume the framework Graph/Adjacency pair and return per-node
+log-probabilities. Aggregations are the shared SpMM/segment primitives, so
+every model runs on the dense-MXU path on small graphs and the segment path
+at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bridged_gnn_tpu.graph import Graph
+from bridged_gnn_tpu.nn.common import glorot_dense
+from bridged_gnn_tpu.nn.stage1 import SAGEConv
+from bridged_gnn_tpu.ops.segment import segment_softmax, segment_sum
+from bridged_gnn_tpu.ops.spmm import Adjacency, spmm
+
+
+def gcn_norm_weights(adj: Adjacency) -> jax.Array:
+    """Symmetric GCN normalization weights per edge: 1/sqrt(d_u d_v).
+
+    Assumes self loops are already present exactly once (the stage-2 graph
+    preparation guarantees this), matching PyG gcn_norm output.
+    """
+    deg = adj.in_degree  # includes self loop
+    dis = jax.lax.rsqrt(jnp.maximum(deg, 1.0))
+    w = dis[adj.senders] * dis[adj.receivers]
+    return jnp.where(adj.edge_mask, w, 0.0)
+
+
+class GCNConv(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, adj: Adjacency, norm_w):
+        h = glorot_dense(self.out_channels, use_bias=False, name="lin")(x)
+        out = spmm(adj, h, edge_weights=norm_w)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return out + bias
+
+
+class GATConv(nn.Module):
+    """Multi-head GATv1 attention conv (PyG GATConv semantics)."""
+
+    out_channels: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    att_dropout: float = 0.0
+    v2: bool = False
+
+    @nn.compact
+    def __call__(self, x, adj: Adjacency, train: bool = False):
+        H, C = self.heads, self.out_channels
+        s, r, em = adj.senders, adj.receivers, adj.edge_mask
+        n_pad = adj.num_nodes_padded
+        h = glorot_dense(H * C, use_bias=False, name="lin")(x)
+        h = h.reshape(-1, H, C)
+        if self.v2:
+            # GATv2: score = a · leaky_relu(W_l x_i + W_r x_j)
+            hr = glorot_dense(H * C, use_bias=False, name="lin_r")(x)
+            hr = hr.reshape(-1, H, C)
+            e = nn.leaky_relu(
+                h[s] + hr[r], negative_slope=self.negative_slope
+            )  # [E, H, C]
+            att = self.param(
+                "att", nn.initializers.glorot_uniform(), (H, C)
+            )
+            logits = jnp.einsum("ehc,hc->eh", e, att)
+        else:
+            att_src = self.param(
+                "att_src", nn.initializers.glorot_uniform(), (H, C)
+            )
+            att_dst = self.param(
+                "att_dst", nn.initializers.glorot_uniform(), (H, C)
+            )
+            a_src = jnp.einsum("nhc,hc->nh", h, att_src)
+            a_dst = jnp.einsum("nhc,hc->nh", h, att_dst)
+            logits = nn.leaky_relu(
+                a_src[s] + a_dst[r], negative_slope=self.negative_slope
+            )  # [E, H]
+        alpha = segment_softmax(logits, r, n_pad, mask=em)
+        alpha = nn.Dropout(self.att_dropout, deterministic=not train)(alpha)
+        msg = h[s] * alpha[:, :, None]
+        out = segment_sum(msg, r, n_pad, mask=em)  # [N, H, C]
+        if self.concat:
+            out = out.reshape(-1, H * C)
+        else:
+            out = out.mean(axis=1)
+        bias = self.param(
+            "bias", nn.initializers.zeros,
+            (H * C if self.concat else C,),
+        )
+        return out + bias
+
+
+class GCNNet(nn.Module):
+    num_classes: int
+    layer_num: int = 2
+    hidden: int = 16
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
+        norm_w = gcn_norm_weights(adj)
+        x = g.x
+        dims = (
+            [self.num_classes]
+            if self.layer_num == 1
+            else [self.hidden] * (self.layer_num - 1) + [self.num_classes]
+        )
+        for i, d in enumerate(dims):
+            x = GCNConv(d, name=f"convs_{i}")(x, adj, norm_w)
+            if i < len(dims) - 1:
+                x = nn.relu(x)
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.log_softmax(x, axis=1)
+
+
+class GraphSAGENet(nn.Module):
+    num_classes: int
+    layer_num: int = 2
+    hidden: int = 16
+    root_weight: bool = True
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
+        x = g.x
+        dims = (
+            [self.num_classes]
+            if self.layer_num == 1
+            else [self.hidden] * (self.layer_num - 1) + [self.num_classes]
+        )
+        for i, d in enumerate(dims):
+            x = SAGEConv(d, root_weight=self.root_weight, name=f"convs_{i}")(
+                x, adj
+            )
+            if i < len(dims) - 1:
+                x = nn.relu(x)
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.log_softmax(x, axis=1)
+
+
+class GATNet(nn.Module):
+    """2-layer GAT (reference backbones.py:404-430)."""
+
+    num_classes: int
+    hidden: int = 16
+    heads: int = 8
+    dropout: float = 0.6
+    v2: bool = False
+    layer_num: int = 2
+    att_dropout: float = 0.6
+
+    @nn.compact
+    def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
+        x = g.x
+        for i in range(self.layer_num - 1):
+            x = GATConv(
+                self.hidden, heads=self.heads, concat=True,
+                att_dropout=self.att_dropout, v2=self.v2, name=f"convs_{i}",
+            )(x, adj, train)
+            x = nn.elu(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = GATConv(
+            self.num_classes, heads=1, concat=False,
+            att_dropout=self.att_dropout, v2=self.v2,
+            name=f"convs_{self.layer_num - 1}",
+        )(x, adj, train)
+        return nn.log_softmax(x, axis=1)
+
+
+class MLPNet(nn.Module):
+    """Graph-free MLP baseline (reference backbones.py:214-244)."""
+
+    num_classes: int
+    hidden: int = 64
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, g: Graph, adj: Adjacency = None, train: bool = False):
+        x = glorot_dense(self.hidden, name="input_layer")(g.x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(x))
+        x = glorot_dense(self.num_classes, name="out_layer")(x)
+        return nn.log_softmax(x, axis=1)
+
+
+class GINNet(nn.Module):
+    """GIN with linear update and learnable eps
+    (reference backbones.py:26-57)."""
+
+    num_classes: int
+    layer_num: int = 2
+    hidden: int = 16
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
+        x = g.x
+        dims = (
+            [self.num_classes]
+            if self.layer_num == 1
+            else [self.hidden] * (self.layer_num - 1) + [self.num_classes]
+        )
+        for i, d in enumerate(dims):
+            eps = self.param(f"eps_{i}", nn.initializers.zeros, ())
+            agg = spmm(adj, x) + (1.0 + eps) * x
+            x = glorot_dense(d, name=f"nn_{i}")(agg)
+            if i < len(dims) - 1:
+                x = nn.relu(x)
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.log_softmax(x, axis=1)
+
+
+class JKNet(nn.Module):
+    """GCN stack + jumping knowledge concat (reference backbones.py:60-107)."""
+
+    num_classes: int
+    hidden: int = 16
+    layer_num: int = 2
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
+        norm_w = gcn_norm_weights(adj)
+        x = g.x
+        xs = []
+        for i in range(self.layer_num):
+            x = GCNConv(self.hidden, name=f"convs_{i}")(x, adj, norm_w)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            xs.append(x)
+        x = jnp.concatenate(xs, axis=1)
+        x = glorot_dense(self.num_classes, name="lin")(x)
+        return nn.log_softmax(x, axis=1)
+
+
+class APPNPNet(nn.Module):
+    """MLP + personalized-PageRank propagation
+    (reference backbones.py:110-128): K=10, alpha=0.1."""
+
+    num_classes: int
+    hidden: int = 16
+    K: int = 10
+    alpha: float = 0.1
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
+        norm_w = gcn_norm_weights(adj)
+        x = nn.Dropout(self.dropout, deterministic=not train)(g.x)
+        x = nn.relu(glorot_dense(self.hidden, name="lin1")(x))
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = glorot_dense(self.num_classes, name="lin2")(x)
+        h0 = x
+        for _ in range(self.K):
+            x = (1 - self.alpha) * spmm(adj, x, edge_weights=norm_w) \
+                + self.alpha * h0
+        return nn.log_softmax(x, axis=1)
+
+
+_ZOO = {
+    "GCN": lambda cfg, c: GCNNet(c, cfg.num_layer, cfg.hidden,
+                                 dropout=cfg.dropout),
+    "GraphSAGE": lambda cfg, c: GraphSAGENet(
+        c, cfg.num_layer, cfg.hidden, dropout=cfg.dropout
+    ),
+    "GAT": lambda cfg, c: GATNet(c, cfg.hidden, heads=3,
+                                 layer_num=cfg.num_layer),
+    "GATv2": lambda cfg, c: GATNet(
+        c, cfg.hidden, heads=1, v2=True, layer_num=cfg.num_layer,
+        att_dropout=0.5,
+    ),
+    "MLP": lambda cfg, c: MLPNet(c, cfg.hidden, dropout=cfg.dropout),
+    "GIN": lambda cfg, c: GINNet(c, cfg.num_layer, cfg.hidden,
+                                 dropout=cfg.dropout),
+    "JKNet": lambda cfg, c: JKNet(c, cfg.hidden, cfg.num_layer,
+                                  dropout=cfg.dropout),
+    "APPNP": lambda cfg, c: APPNPNet(c, cfg.hidden, dropout=cfg.dropout),
+}
+
+
+def build_backbone(name: str, cfg, num_classes: int):
+    if name not in _ZOO:
+        raise NotImplementedError(f"Not Implemented Model: {name}")
+    return _ZOO[name](cfg, num_classes)

@@ -1,0 +1,64 @@
+"""Optimizers matching the reference's torch training recipes.
+
+torch.optim.Adam with ``weight_decay`` adds ``wd * param`` to the gradient
+*before* the moment updates (L2, not AdamW), and ``StepLR(step_size, gamma)``
+multiplies the lr by gamma every ``step_size`` epochs — both reproduced here
+with optax primitives (reference main_graph_knowledge_transfer.py:205-207,
+scripts.py:464-469).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import optax
+
+
+def step_lr(base_lr: float, step_size: int, gamma: float) -> Callable:
+    def schedule(count):
+        return base_lr * gamma ** (count // step_size)
+
+    return schedule
+
+
+def torch_adam(
+    lr,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """torch-semantics Adam: L2 into grads, bias-corrected moments."""
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    if callable(lr):
+        parts.append(optax.scale_by_schedule(lambda c: -lr(c)))
+    else:
+        parts.append(optax.scale(-lr))
+    return optax.chain(*parts)
+
+
+def stage1_optimizer() -> optax.GradientTransformation:
+    """Two parameter groups (reference scripts.py:464-469):
+    source_learner lr 1e-2 wd 5e-3; target_learner lr 1e-3 betas (0.5,.999).
+    Label function keys on the top-level module name.
+    """
+
+    def label_fn(params):
+        return {
+            k: ("source" if k == "source_learner" else "target")
+            for k in params
+        }
+
+    return optax.multi_transform(
+        {
+            "source": torch_adam(1e-2, weight_decay=5e-3),
+            "target": torch_adam(1e-3, betas=(0.5, 0.999)),
+        },
+        label_fn,
+    )
+
+
+def discriminator_optimizer() -> optax.GradientTransformation:
+    return torch_adam(1e-3, betas=(0.5, 0.999))

@@ -1,0 +1,285 @@
+"""Stage-2 training runtime: KT-GNN knowledge transfer on a bridged graph.
+
+Re-design of the reference training loop
+(main_graph_knowledge_transfer.py:39-262):
+
+  * 4-term loss ``(2·L_s + L_t + L_t̂)/4 + λ·KL(t̂ ‖ t)`` with the KL in
+    torch ``kl_div(log_t̂, log_t, log_target=True, reduction='batchmean')``
+    convention (lines 43-54);
+  * Adam(lr 1e-3, wd 5e-3, torch L2 semantics) + StepLR(100, 0.1)
+    (lines 205-207);
+  * model selection by **minimum loss_clf_t2** (line 238), not val metric;
+  * eval: source head macro-F1 on train mask; distilled target-hat head on
+    val/test (lines 73-118); per-head test scores (lines 119-142).
+
+The whole epoch step (forward, loss, backward, optimizer) is one jitted XLA
+program; only per-epoch metric extraction crosses to host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bridged_gnn_tpu.graph import Graph, graph_from_dict, with_self_loops
+from bridged_gnn_tpu.nn.ktgnn import KTGNN, KTGNNNoDTC
+from bridged_gnn_tpu.ops.spmm import Adjacency, adjacency_from_graph
+from bridged_gnn_tpu.train.metrics import eval_metric
+from bridged_gnn_tpu.train.optim import step_lr, torch_adam
+
+
+@dataclasses.dataclass
+class Stage2Config:
+    model_name: str = "KTGNN"
+    num_layer: int = 2
+    hidden: int = 64
+    num_epoch: int = 300
+    lr: float = 1e-3
+    weight_decay: float = 5e-3
+    use_scheduler: bool = True
+    step_size: int = 100
+    gamma: float = 0.1
+    Lambda: float = 1.0
+    dropout: float = 0.5
+    use_bn: bool = True
+    root_weight: bool = False
+    metric: str = "f1"
+    f1_average: str = "macro"
+    seed: int = 0
+    no_dtc: bool = False
+    to_undirected: bool = False
+    adjacency_method: str = "auto"
+    log_every: int = 0  # 0 = silent
+
+
+def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array):
+    """Mean of -log p(y) over masked nodes (torch F.nll_loss semantics)."""
+    y_safe = jnp.clip(y, 0)
+    picked = jnp.take_along_axis(log_probs, y_safe[:, None], axis=1)[:, 0]
+    m = mask.astype(log_probs.dtype)
+    return -jnp.sum(picked * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def kl_batchmean(log_q: jax.Array, log_p: jax.Array, mask: jax.Array):
+    """torch F.kl_div(log_q, log_p, log_target=True, reduction='batchmean')
+    over masked rows: sum(exp(log_p)·(log_p − log_q)) / num_rows."""
+    kl = jnp.exp(log_p) * (log_p - log_q)
+    m = mask.astype(log_q.dtype)[:, None]
+    return jnp.sum(kl * m) / jnp.maximum(jnp.sum(mask), 1)
+
+
+def to_undirected_np(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """PyG ToUndirected(merge=True): union of edges and reversed edges,
+    coalesced (reference main_graph_knowledge_transfer.py:410-411)."""
+    from bridged_gnn_tpu.graph import coalesce_np
+
+    ei = data["edge_index"]
+    both = np.concatenate([ei, ei[::-1]], axis=1)
+    out = dict(data)
+    out["edge_index"] = coalesce_np(both, data["x"].shape[0])
+    return out
+
+
+def prepare_stage2_graph(
+    data: Dict[str, np.ndarray], cfg: Stage2Config
+) -> tuple[Graph, Adjacency]:
+    data = dict(data)
+    # reference quirk kept: unlabeled nodes can never be train
+    # (main_graph_knowledge_transfer.py:404)
+    data["train_mask"] = np.asarray(data["train_mask"]).copy()
+    data["train_mask"][np.asarray(data["y"]) == -1] = False
+    if cfg.to_undirected:
+        data = to_undirected_np(data)
+    g = graph_from_dict(data)
+    g = with_self_loops(g)
+    adj = adjacency_from_graph(g, method=cfg.adjacency_method)
+    return g, adj
+
+
+def build_model(cfg: Stage2Config, num_classes: int):
+    if cfg.no_dtc or cfg.model_name == "KTGNN_noDTC":
+        return KTGNNNoDTC(
+            num_classes=num_classes,
+            layer_num=cfg.num_layer,
+            hidden=cfg.hidden,
+            root_weight=cfg.root_weight,
+            dropout=cfg.dropout,
+            use_bn=cfg.use_bn,
+        )
+    if cfg.model_name == "KTGNN":
+        return KTGNN(
+            num_classes=num_classes,
+            layer_num=cfg.num_layer,
+            hidden=cfg.hidden,
+            root_weight=cfg.root_weight,
+            dropout=cfg.dropout,
+            use_bn=cfg.use_bn,
+        )
+    from bridged_gnn_tpu.nn import backbones
+
+    return backbones.build_backbone(cfg.model_name, cfg, num_classes)
+
+
+def train_ktgnn(
+    data: Dict[str, np.ndarray],
+    cfg: Optional[Stage2Config] = None,
+) -> Dict[str, Any]:
+    """Full stage-2 run. Returns best scores + timing diagnostics."""
+    cfg = cfg or Stage2Config()
+    g, adj = prepare_stage2_graph(data, cfg)
+    num_classes = int(np.asarray(g.y).max()) + 1
+    model = build_model(cfg, num_classes)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng, drop_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": init_rng, "dropout": drop_rng}, g, adj, False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    lr = (
+        step_lr(cfg.lr, cfg.step_size, cfg.gamma)
+        if cfg.use_scheduler
+        else cfg.lr
+    )
+    tx = torch_adam(lr, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+
+    is_ktgnn = not cfg.no_dtc and cfg.model_name == "KTGNN"
+    tar_train = g.train_mask & (~g.central_mask)
+
+    def loss_fn(params, batch_stats, dropout_rng):
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g, adj, True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+        if is_ktgnn:
+            lp_s, lp_t, lp_that, _ = outs
+            loss_s = masked_nll(lp_s, g.y, g.train_mask)
+            loss_t1 = masked_nll(lp_t, g.y, tar_train)
+            loss_t2 = masked_nll(lp_that, g.y, tar_train)
+            loss_kl = kl_batchmean(lp_that, lp_t, g.node_mask)
+            loss = (
+                (2.0 * loss_s + loss_t1 + loss_t2) / 4.0
+                + cfg.Lambda * loss_kl
+            )
+            aux = dict(
+                loss_t2=loss_t2, loss_t1=loss_t1, loss_kl=loss_kl,
+                loss_s=loss_s,
+            )
+        else:
+            lp = outs[0] if isinstance(outs, tuple) else outs
+            loss = masked_nll(lp, g.y, g.train_mask)
+            aux = dict(loss_t2=loss, loss_t1=loss, loss_kl=0.0, loss_s=loss)
+        return loss, (aux, mutated["batch_stats"])
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, dropout_rng):
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, dropout_rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss, aux
+
+    @jax.jit
+    def eval_step(params, batch_stats):
+        outs = model.apply(
+            {"params": params, "batch_stats": batch_stats}, g, adj, False
+        )
+        if is_ktgnn:
+            lp_s, lp_t, lp_that, _ = outs
+            return (
+                jnp.argmax(lp_s, axis=1),
+                jnp.argmax(lp_t, axis=1),
+                jnp.argmax(lp_that, axis=1),
+            )
+        lp = outs[0] if isinstance(outs, tuple) else outs
+        pred = jnp.argmax(lp, axis=1)
+        return pred, pred, pred
+
+    y_np = np.asarray(g.y)
+    masks_np = {
+        "train": np.asarray(g.train_mask),
+        "val": np.asarray(g.val_mask),
+        "test": np.asarray(g.test_mask),
+    }
+
+    def evaluate(params, batch_stats):
+        pred_s, pred_t, pred_that = (
+            np.asarray(a) for a in eval_step(params, batch_stats)
+        )
+        scores = {}
+        for split, mask in masks_np.items():
+            # source head for train, distilled target-hat head for val/test
+            pred = pred_s if split == "train" else pred_that
+            scores[split] = eval_metric(
+                y_np[mask], pred[mask], cfg.metric, cfg.f1_average
+            )
+        per_head = {
+            "source": eval_metric(
+                y_np[masks_np["test"]], pred_s[masks_np["test"]],
+                cfg.metric, cfg.f1_average,
+            ),
+            "target": eval_metric(
+                y_np[masks_np["test"]], pred_t[masks_np["test"]],
+                cfg.metric, cfg.f1_average,
+            ),
+            "target_hat": eval_metric(
+                y_np[masks_np["test"]], pred_that[masks_np["test"]],
+                cfg.metric, cfg.f1_average,
+            ),
+        }
+        return scores, per_head
+
+    best = {"train": 0.0, "val": 0.0, "test": 0.0, "loss": 666.0,
+            "epoch": -1}
+    history = []
+    t_start = time.time()
+    epoch_times = []
+    for epoch in range(1, cfg.num_epoch + 1):
+        t0 = time.time()
+        rng, drop_rng = jax.random.split(rng)
+        params, batch_stats, opt_state, loss, aux = train_step(
+            params, batch_stats, opt_state, drop_rng
+        )
+        loss_t2 = float(aux["loss_t2"])
+        scores, per_head = evaluate(params, batch_stats)
+        epoch_times.append(time.time() - t0)
+        history.append(
+            dict(epoch=epoch, loss=float(loss), loss_t2=loss_t2, **scores)
+        )
+        if cfg.log_every and epoch % cfg.log_every == 0:
+            print(
+                f"Epoch {epoch:03d} loss {float(loss):.4f} "
+                f"train {scores['train']:.4f} val {scores['val']:.4f} "
+                f"test {scores['test']:.4f}"
+            )
+        if loss_t2 < best["loss"]:
+            best.update(
+                train=scores["train"], val=scores["val"],
+                test=scores["test"], loss=loss_t2, epoch=epoch,
+                per_head=per_head,
+            )
+
+    return dict(
+        best=best,
+        history=history,
+        total_time=time.time() - t_start,
+        mean_epoch_time=float(np.mean(epoch_times[2:]))
+        if len(epoch_times) > 2
+        else float(np.mean(epoch_times)),
+        params=params,
+        batch_stats=batch_stats,
+        num_edges=g.num_edges,
+    )

@@ -1,16 +1,21 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere.
+Note: the env var JAX_PLATFORMS is NOT honored in this environment (the
+axon TPU plugin wins); `jax.config.update('jax_platforms', ...)` is, so we
+set both the XLA flag (before import) and the config (after import).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -18,6 +23,10 @@ import pytest  # noqa: E402
 REFERENCE_DIR = "/root/reference"
 A2D_GRAPH = (
     REFERENCE_DIR + "/data_bridged_graph/office_amazon2dslr_bridged_graph.dat"
+)
+A2W_GRAPH = (
+    REFERENCE_DIR
+    + "/data_bridged_graph/office_amazon2webcam_bridged_graph.dat"
 )
 A2D_CKPT = REFERENCE_DIR + "/ckpt/model_AdvLearner_office_amazon2dslr_best.ckpt"
 
