@@ -42,6 +42,7 @@ class AdaptedConv(nn.Module):
     root_weight: bool = False
     negative_slope: float = 0.1
     aggregate_dense: bool = True  # use MXU dense path when adj has dense
+    axis_name: Optional[str] = None  # mesh axis for edge-sharded SPMD
 
     @nn.compact
     def __call__(
@@ -85,11 +86,12 @@ class AdaptedConv(nn.Module):
         logit_s2t = glorot_dense(1, use_bias=False, name="a_f_s2t")(e_s2t)
         logits = jnp.where(dst_central[:, None], logit_t2s, logit_s2t)[:, 0]
         alpha = segment_softmax(
-            logits, r, adj.num_nodes_padded, mask=em, indices_are_sorted=True
+            logits, r, adj.num_nodes_padded, mask=em,
+            indices_are_sorted=True, axis_name=self.axis_name,
         )
 
         # --- aggregation (joint softmax already applied; split by dst domain)
-        if self.aggregate_dense and adj.use_dense:
+        if self.aggregate_dense and adj.use_dense and self.axis_name is None:
             n_pad = adj.num_nodes_padded
             w1 = jnp.where(em & dst_central, alpha, 0.0)
             w2 = jnp.where(em & ~dst_central, alpha, 0.0)
@@ -113,7 +115,7 @@ class AdaptedConv(nn.Module):
             msg = jnp.where(dst_central[:, None], u_t2s[s], u_s2t[s])
             out = segment_sum(
                 msg * alpha[:, None], r, adj.num_nodes_padded, mask=em,
-                indices_are_sorted=True,
+                indices_are_sorted=True, axis_name=self.axis_name,
             )
 
         if self.root_weight:
@@ -152,6 +154,7 @@ class KTGNN(nn.Module):
     root_weight: bool = False
     dropout: float = 0.5
     use_bn: bool = True
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -162,7 +165,8 @@ class KTGNN(nn.Module):
         n_convs = max(self.layer_num - 1, 1)
         for i in range(n_convs):
             x = AdaptedConv(
-                self.hidden, root_weight=self.root_weight, name=f"convs_{i}"
+                self.hidden, root_weight=self.root_weight,
+                axis_name=self.axis_name, name=f"convs_{i}",
             )(x, adj, cm, nm)
             if self.use_bn:
                 x = MaskedBatchNorm(name=f"bns_{i}")(
@@ -172,10 +176,12 @@ class KTGNN(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
         logits_base = AdaptedConv(
-            self.num_classes, root_weight=self.root_weight, name="clf_base"
+            self.num_classes, root_weight=self.root_weight,
+            axis_name=self.axis_name, name="clf_base",
         )(x, adj, cm, nm)
         clf_target = AdaptedConv(
-            self.num_classes, root_weight=self.root_weight, name="clf_target"
+            self.num_classes, root_weight=self.root_weight,
+            axis_name=self.axis_name, name="clf_target",
         )
         x_trans = ClfTransformer(self.hidden, name="clf_transformer")(
             x, nm, train
@@ -200,6 +206,7 @@ class KTGNNNoDTC(nn.Module):
     root_weight: bool = False
     dropout: float = 0.5
     use_bn: bool = True
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
@@ -209,7 +216,8 @@ class KTGNNNoDTC(nn.Module):
             is_last = i == self.layer_num - 2
             out_dim = self.num_classes if is_last else self.hidden
             x = AdaptedConv(
-                out_dim, root_weight=self.root_weight, name=f"convs_{i}"
+                out_dim, root_weight=self.root_weight,
+                axis_name=self.axis_name, name=f"convs_{i}",
             )(x, adj, cm, nm)
             if not is_last:
                 if self.use_bn:

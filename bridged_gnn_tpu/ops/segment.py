@@ -20,6 +20,12 @@ import jax.numpy as jnp
 
 _NEG_INF = -1e30
 
+# When ``axis_name`` is given, the edge arrays are assumed sharded across
+# that mesh axis (inside shard_map) while node-indexed outputs are
+# replicated: each device reduces its local edge shard, then a collective
+# (psum / pmax) combines the per-node partials. This is the SPMD
+# graph-parallel execution mode (SURVEY §2c pattern 1).
+
 
 def segment_sum(
     data: jax.Array,
@@ -27,14 +33,18 @@ def segment_sum(
     num_segments: int,
     mask: Optional[jax.Array] = None,
     indices_are_sorted: bool = True,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     if mask is not None:
         shape = mask.shape + (1,) * (data.ndim - mask.ndim)
         data = jnp.where(mask.reshape(shape), data, 0)
-    return jax.ops.segment_sum(
+    out = jax.ops.segment_sum(
         data, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def segment_mean(
@@ -43,10 +53,13 @@ def segment_mean(
     num_segments: int,
     mask: Optional[jax.Array] = None,
     indices_are_sorted: bool = True,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
-    s = segment_sum(data, segment_ids, num_segments, mask, indices_are_sorted)
+    s = segment_sum(data, segment_ids, num_segments, mask,
+                    indices_are_sorted, axis_name)
     ones = jnp.ones(segment_ids.shape, dtype=s.dtype)
-    cnt = segment_sum(ones, segment_ids, num_segments, mask, indices_are_sorted)
+    cnt = segment_sum(ones, segment_ids, num_segments, mask,
+                      indices_are_sorted, axis_name)
     cnt = jnp.maximum(cnt, 1)
     return s / cnt.reshape(cnt.shape + (1,) * (s.ndim - cnt.ndim))
 
@@ -57,14 +70,21 @@ def segment_max(
     num_segments: int,
     mask: Optional[jax.Array] = None,
     indices_are_sorted: bool = True,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     if mask is not None:
         shape = mask.shape + (1,) * (data.ndim - mask.ndim)
         data = jnp.where(mask.reshape(shape), data, _NEG_INF)
-    return jax.ops.segment_max(
+    out = jax.ops.segment_max(
         data, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    if axis_name is not None:
+        # pmax has no AD rule; all_gather+max is differentiable and this max
+        # only feeds the (gradient-cancelling) softmax shift anyway
+        gathered = jax.lax.all_gather(out, axis_name)
+        out = jnp.max(gathered, axis=0)
+    return out
 
 
 def segment_softmax(
@@ -73,23 +93,32 @@ def segment_softmax(
     num_segments: int,
     mask: Optional[jax.Array] = None,
     indices_are_sorted: bool = True,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Numerically-stable softmax within each segment.
 
     Matches ``torch_geometric.utils.softmax(alpha, index, num_nodes=N)`` as
     invoked at reference models/KTGNN.py:299 (max-shifted exp / segment-sum).
-    Masked (padded) entries get probability 0.
+    Masked (padded) entries get probability 0. With ``axis_name`` the
+    normalization spans edge shards on all devices.
     """
-    m = segment_max(logits, segment_ids, num_segments, mask, indices_are_sorted)
-    m = jnp.maximum(m, _NEG_INF)  # empty segments
+    m = segment_max(logits, segment_ids, num_segments, mask,
+                    indices_are_sorted, axis_name)
+    # the max shift cancels in softmax; detach it so pmax (no VJP) and the
+    # segment_max gather stay out of the backward graph
+    m = jax.lax.stop_gradient(jnp.maximum(m, _NEG_INF))
     shifted = logits - m[segment_ids]
-    e = jnp.exp(shifted)
     if mask is not None:
-        shape = mask.shape + (1,) * (e.ndim - mask.ndim)
-        e = jnp.where(mask.reshape(shape), e, 0)
+        # mask BEFORE exp: a padded edge in an empty segment would otherwise
+        # produce exp(x + 1e30) = inf, and inf·0 in the VJP poisons grads
+        shape = mask.shape + (1,) * (shifted.ndim - mask.ndim)
+        shifted = jnp.where(mask.reshape(shape), shifted, _NEG_INF)
+    e = jnp.exp(shifted)
     denom = jax.ops.segment_sum(
         e, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted,
     )
+    if axis_name is not None:
+        denom = jax.lax.psum(denom, axis_name)
     denom = jnp.where(denom == 0, 1.0, denom)
     return e / denom[segment_ids]

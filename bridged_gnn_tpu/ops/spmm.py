@@ -100,11 +100,16 @@ def spmm(
     x: jax.Array,
     reduce: str = "sum",
     edge_weights: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """out[v] = reduce_{(u,v) in E} w_uv * x[u].
 
     ``reduce`` ∈ {'sum', 'mean'} matching torch_sparse.matmul's reduce modes
     used by the reference (utils.py:106, SAGEConv aggregation).
+
+    With ``axis_name`` (inside shard_map) the adjacency's edge arrays hold
+    this device's edge shard; partial per-node aggregates are psum-combined.
+    ``in_degree`` must already be the global degree in that case.
     """
     n_pad = adj.num_nodes_padded
     if adj.use_dense:
@@ -123,6 +128,8 @@ def spmm(
         out = jnp.dot(
             mat, x, preferred_element_type=jnp.float32, precision=prec
         )
+        if axis_name is not None:
+            out = jax.lax.psum(out, axis_name)
     else:
         msg = x[adj.senders]
         if edge_weights is not None:
@@ -131,7 +138,7 @@ def spmm(
             )
         out = segment_sum(
             msg, adj.receivers, n_pad, mask=adj.edge_mask,
-            indices_are_sorted=True,
+            indices_are_sorted=True, axis_name=axis_name,
         )
     if reduce == "mean":
         out = out / jnp.maximum(adj.in_degree, 1.0)[:, None]

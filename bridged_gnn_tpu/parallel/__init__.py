@@ -1,0 +1,7 @@
+from bridged_gnn_tpu.parallel.mesh import make_mesh  # noqa: F401
+from bridged_gnn_tpu.parallel.edgeshard import (  # noqa: F401
+    make_sharded_ktgnn_train_step,
+    pad_graph_edges_for_sharding,
+    sharded_spmm,
+)
+from bridged_gnn_tpu.parallel.topk import sharded_pair_topk  # noqa: F401
