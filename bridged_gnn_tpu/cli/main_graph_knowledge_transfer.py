@@ -1,0 +1,86 @@
+"""Stage-2 CLI: knowledge-transfer GNN training on a bridged graph.
+
+Flag surface mirrors the reference (main_graph_knowledge_transfer.py:423-439).
+``--path_data`` accepts either the framework's npz format or the
+reference's torch ``.dat`` pickle (read through the PyG-compat shim).
+
+Example (office A→D recipe, run.sh:14):
+  python -m bridged_gnn_tpu.cli.main_graph_knowledge_transfer \
+      --num_layer 2 --hidden_dim 64 \
+      --path_data /root/reference/data_bridged_graph/office_amazon2dslr_bridged_graph.dat \
+      --to_undirected
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from bridged_gnn_tpu.io.pyg_compat import load_pyg_data_dict
+from bridged_gnn_tpu.io.serialize import load_graph_npz
+from bridged_gnn_tpu.train.stage2 import Stage2Config, train_ktgnn
+from bridged_gnn_tpu.utils import eval_bridged_graph, set_random_seed
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        description="Knowledge transfer on a learned bridged-graph "
+        "(TPU-native)"
+    )
+    ap.add_argument("--dataset_name", type=str,
+                    default="twitter_unrelational")
+    ap.add_argument("--model_name", type=str, default="KTGNN",
+                    choices=["MLP", "GCN", "GAT", "GATv2", "GraphSAGE",
+                             "GIN", "JKNet", "APPNP", "KTGNN"])
+    ap.add_argument("--eval_metric", type=str, default="f1",
+                    choices=["f1", "auc", "acc"])
+    ap.add_argument("--save", action="store_true", default=False)
+    ap.add_argument("--to_undirected", action="store_true", default=False)
+    ap.add_argument("--no_dtc", action="store_true", default=False)
+    ap.add_argument("--num_layer", type=int, default=2)
+    ap.add_argument("--num_epoch", type=int, default=300)
+    ap.add_argument("--hidden_dim", type=int, default=64)
+    ap.add_argument("--path_data", type=str, required=True)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log_every", type=int, default=10)
+    return ap
+
+
+def load_bridged_graph(path: str):
+    if path.endswith(".npz"):
+        return load_graph_npz(path)
+    return load_pyg_data_dict(path)
+
+
+def main(args):
+    set_random_seed(0)
+    data = load_bridged_graph(args.path_data)
+    print("local homophily of test nodes:", eval_bridged_graph(data))
+
+    # the no_dtc recipe runs GraphSAGE without scheduler
+    # (reference main_graph_knowledge_transfer.py:414-421)
+    if args.no_dtc:
+        cfg = Stage2Config(
+            model_name="GraphSAGE", num_layer=args.num_layer,
+            hidden=args.hidden_dim, num_epoch=args.num_epoch,
+            use_scheduler=False, metric=args.eval_metric,
+            to_undirected=args.to_undirected, seed=args.seed,
+            log_every=args.log_every,
+        )
+    else:
+        cfg = Stage2Config(
+            model_name=args.model_name, num_layer=args.num_layer,
+            hidden=args.hidden_dim, num_epoch=args.num_epoch,
+            metric=args.eval_metric, to_undirected=args.to_undirected,
+            seed=args.seed, log_every=args.log_every,
+        )
+    res = train_ktgnn(data, cfg)
+    print("[stage-2 best]", {k: v for k, v in res["best"].items()
+                             if k != "per_head"})
+    if "per_head" in res["best"]:
+        print("[per-head test]", res["best"]["per_head"])
+    print(f"mean s/epoch: {res['mean_epoch_time']:.4f}")
+    return res
+
+
+if __name__ == "__main__":
+    main(build_argparser().parse_args())

@@ -390,6 +390,40 @@ class AdversarialLearnerV2(nn.Module):
     def discriminate(self, z, train: bool = False):
         return self.discriminator(z, train=train)
 
+    def train_forward(
+        self, x_src, adj_src, x_tar, adj_tar,
+        idx1_src, idx2_src, idx1_tar, idx2_tar, idx1_cross, idx2_cross,
+        mask_src=None, mask_tar=None, train: bool = True,
+    ):
+        """One stage-1 forward in the reference's exact call order
+        (scripts.py:34-54): source pairs, target AE + target pairs scored by
+        the source sim head, cross pairs, discriminator-on-target — so
+        BatchNorm running stats see the same update sequence."""
+        probs_pair_src, log_clf_src, h_src = self.source_learner(
+            x_src, adj_src, idx1_src, idx2_src, mask=mask_src, train=train
+        )
+        h0_tar, h_tar, recons = self.target_learner(
+            x_tar, adj_tar, mask_tar, train
+        )
+        sim = self.source_learner.sim_net
+        probs_pair_tar, log_clf_tar = sim(h_tar, idx1_tar, idx2_tar, train)
+        probs_pair_cross = sim.similarity_cross_domain(
+            h_src, h_tar, idx1_cross, idx2_cross, train
+        )[:, None]
+        d_tar = self.discriminator(h_tar, train=train)
+        return dict(
+            probs_pair_src=probs_pair_src,
+            probs_pair_tar=probs_pair_tar,
+            probs_pair_cross=probs_pair_cross,
+            log_clf_src=log_clf_src,
+            log_clf_tar=log_clf_tar,
+            h_src=h_src,
+            h_tar=h_tar,
+            h0_tar=h0_tar,
+            recons=recons,
+            d_tar=d_tar,
+        )
+
     def init_all(self, x_src, adj_src, x_tar, adj_tar, idx1, idx2,
                  mask_src=None, mask_tar=None):
         """Touches every submodule so flax init creates all parameters."""

@@ -1,0 +1,519 @@
+"""Stage-1 training runtime: adversarial similarity learning.
+
+Re-design of the reference loop (scripts.py:28-94, 430-555):
+
+  * per epoch: one jitted similarity/AE step over freshly sampled pair
+    indices (static shapes → single compilation), then one jitted
+    discriminator step on detached embeddings;
+  * two optimizer groups with torch-Adam semantics (source lr 1e-2 wd 5e-3;
+    target lr 1e-3 betas (0.5, 0.999)) and a separate discriminator Adam
+    (scripts.py:464-469) — realized as optax.multi_transform with
+    set_to_zero for the out-of-group subtrees;
+  * loss: BCE pair losses ×3 + (loss_g + 0.1·recons) [+ NLL classifier
+    terms] (scripts.py:37-63); discriminator BCE real=source fake=target
+    averaged (scripts.py:84-92);
+  * eval via sampled (balanced 100k pairs) or exhaustive pair enumeration
+    (scripts.py:315-426); model selection by cross-domain val pair F1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from bridged_gnn_tpu.graph import Graph, graph_from_dict
+from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
+from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+from bridged_gnn_tpu.train.metrics import eval_metric
+from bridged_gnn_tpu.train.optim import torch_adam
+from bridged_gnn_tpu.train.samplers import (
+    PairEnumerator,
+    PairEnumeratorCross,
+    enumerate_all_pairs,
+)
+
+_EPS = 1e-7  # probability clamp for BCE on probabilities
+
+
+@dataclasses.dataclass
+class Stage1Config:
+    hidden_dim: int = 64
+    num_layer: int = 2
+    num_epoch: int = 400
+    start_eval_epoch: int = 300
+    eval_per_epoch: int = 1
+    max_class_num: int = 10
+    sample_size: int = 40000
+    sim_mode: str = "mlp"
+    backbone: str = "mlp"
+    norm_mode: str = "None"
+    norm_scale: float = 1.0
+    use_clf: bool = True
+    use_norm: bool = True
+    eval_mode: str = "sampling"  # 'sampling' | 'all'
+    eval_sample_size: int = 100000
+    seed: int = 0
+    repeat: int = 1
+    metric: str = "f1"
+    verbose: bool = False
+
+
+def bce(probs, targets):
+    p = jnp.clip(probs, _EPS, 1 - _EPS)
+    return -jnp.mean(targets * jnp.log(p) + (1 - targets) * jnp.log(1 - p))
+
+
+def build_model(cfg: Stage1Config, src: Dict, tar: Dict) -> AdversarialLearnerV2:
+    return AdversarialLearnerV2(
+        dim_in_src=src["x"].shape[1],
+        dim_in_tar=tar["x"].shape[1],
+        num_classes_src=int(np.asarray(src["y"]).max()) + 1,
+        num_classes_tar=int(np.asarray(tar["y"]).max()) + 1,
+        dim_hidden=cfg.hidden_dim,
+        source_clf=cfg.use_clf,
+        use_norm=cfg.use_norm,
+        norm_mode=cfg.norm_mode,
+        norm_scale=cfg.norm_scale,
+        backbone=cfg.backbone,
+        sim_mode=cfg.sim_mode,
+    )
+
+
+def _group_optimizers():
+    """source+target group and discriminator group, each zeroing the other
+    subtrees (reference scripts.py:464-469)."""
+
+    def label_st(params):
+        return {
+            k: (
+                "source" if k == "source_learner"
+                else "target" if k == "target_learner"
+                else "frozen"
+            )
+            for k in params
+        }
+
+    tx_st = optax.multi_transform(
+        {
+            "source": torch_adam(1e-2, weight_decay=5e-3),
+            "target": torch_adam(1e-3, betas=(0.5, 0.999)),
+            "frozen": optax.set_to_zero(),
+        },
+        label_st,
+    )
+
+    def label_d(params):
+        return {
+            k: ("disc" if k == "discriminator" else "frozen") for k in params
+        }
+
+    tx_d = optax.multi_transform(
+        {"disc": torch_adam(1e-3, betas=(0.5, 0.999)),
+         "frozen": optax.set_to_zero()},
+        label_d,
+    )
+    return tx_st, tx_d
+
+
+def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
+                     use_clf: bool):
+    tx_st, tx_d = _group_optimizers()
+
+    def sim_loss(params, batch_stats, dropout_rng, idxs, y_pairs):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g_src.x, adj_src, g_tar.x, adj_tar,
+            idxs["src1"], idxs["src2"], idxs["tar1"], idxs["tar2"],
+            idxs["cross1"], idxs["cross2"],
+            mask_src=g_src.node_mask, mask_tar=g_tar.node_mask, train=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+            method=AdversarialLearnerV2.train_forward,
+        )
+        loss_src = bce(out["probs_pair_src"][:, 0], y_pairs["src"])
+        loss_tar = bce(out["probs_pair_tar"][:, 0], y_pairs["tar"])
+        loss_cross = bce(out["probs_pair_cross"][:, 0], y_pairs["cross"])
+        # AE: recon MSE over real rows + generator BCE (scripts.py:50-55)
+        nm = g_tar.node_mask[:, None].astype(out["recons"].dtype)
+        n_real = jnp.maximum(jnp.sum(g_tar.node_mask), 1)
+        loss_recons = jnp.sum(
+            ((out["recons"] - out["h0_tar"]) ** 2) * nm
+        ) / (n_real * out["recons"].shape[1])
+        d_probs = jnp.clip(out["d_tar"][:, 0], _EPS, 1 - _EPS)
+        loss_g = -jnp.sum(
+            jnp.log(d_probs) * g_tar.node_mask
+        ) / n_real
+        loss_ae = loss_g + loss_recons * 0.1
+        loss = loss_src + loss_tar + loss_cross + loss_ae
+        if use_clf:
+            def nll(log_probs, y, mask):
+                y_safe = jnp.clip(y, 0)
+                picked = jnp.take_along_axis(
+                    log_probs, y_safe[:, None], axis=1
+                )[:, 0]
+                m = mask.astype(log_probs.dtype)
+                return -jnp.sum(picked * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+            loss = loss + nll(out["log_clf_src"], g_src.y, g_src.train_mask)
+            loss = loss + nll(out["log_clf_tar"], g_tar.y, g_tar.train_mask)
+        aux = dict(
+            loss_ae=loss_ae, loss_g=loss_g, loss_recons=loss_recons,
+            probs_src=out["probs_pair_src"][:, 0],
+            probs_tar=out["probs_pair_tar"][:, 0],
+            probs_cross=out["probs_pair_cross"][:, 0],
+            h_src=jax.lax.stop_gradient(out["h_src"]),
+            h_tar=jax.lax.stop_gradient(out["h_tar"]),
+        )
+        return loss, (aux, mutated["batch_stats"])
+
+    @jax.jit
+    def sim_step(params, batch_stats, opt_state, dropout_rng, idxs, y_pairs):
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            sim_loss, has_aux=True
+        )(params, batch_stats, dropout_rng, idxs, y_pairs)
+        updates, opt_state = tx_st.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss, aux
+
+    def d_loss(params, batch_stats, h_src, h_tar):
+        disc = lambda m, z: m.discriminator(z, train=True)  # noqa: E731
+        p_real = model.apply(
+            {"params": params, "batch_stats": batch_stats}, h_src,
+            method=disc,
+        )[:, 0]
+        p_fake = model.apply(
+            {"params": params, "batch_stats": batch_stats}, h_tar,
+            method=disc,
+        )[:, 0]
+        m_src = g_src.node_mask.astype(p_real.dtype)
+        m_tar = g_tar.node_mask.astype(p_fake.dtype)
+        real = -jnp.sum(
+            jnp.log(jnp.clip(p_real, _EPS, 1 - _EPS)) * m_src
+        ) / jnp.maximum(m_src.sum(), 1)
+        fake = -jnp.sum(
+            jnp.log(jnp.clip(1 - p_fake, _EPS, 1 - _EPS)) * m_tar
+        ) / jnp.maximum(m_tar.sum(), 1)
+        return (real + fake) / 2
+
+    @jax.jit
+    def d_step(params, batch_stats, opt_state, h_src, h_tar):
+        loss, grads = jax.value_and_grad(d_loss)(
+            params, batch_stats, h_src, h_tar
+        )
+        updates, opt_state = tx_d.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return sim_step, d_step, tx_st, tx_d
+
+
+def _pair_scores_in_chunks(score_fn, idx1, idx2, chunk: int = 131072):
+    """Evaluate a pair-scoring closure over host index arrays in padded
+    fixed-size chunks (compiles once)."""
+    n = len(idx1)
+    out = np.empty(n, dtype=np.float32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        i1 = np.zeros(chunk, dtype=np.int32)
+        i2 = np.zeros(chunk, dtype=np.int32)
+        i1[: e - s] = idx1[s:e]
+        i2[: e - s] = idx2[s:e]
+        out[s:e] = np.asarray(score_fn(jnp.asarray(i1), jnp.asarray(i2)))[
+            : e - s
+        ]
+    return out
+
+
+class Stage1Evaluator:
+    """Pair-prediction + node-classification eval (scripts.py:315-426)."""
+
+    def __init__(self, model, variables, g_src, adj_src, g_tar, adj_tar,
+                 src_d, tar_d, cfg: Stage1Config, rng):
+        self.model = model
+        self.variables = variables
+        self.g_src, self.adj_src = g_src, adj_src
+        self.g_tar, self.adj_tar = g_tar, adj_tar
+        self.src_d, self.tar_d = src_d, tar_d
+        self.cfg = cfg
+        self.enus = {}
+        for split in ("val", "test"):
+            self.enus[split] = (
+                PairEnumerator(src_d, split, rng),
+                PairEnumerator(tar_d, split, rng),
+                PairEnumeratorCross(src_d, tar_d, split, rng),
+            )
+        self._build_score_fns()
+
+    def _build_score_fns(self):
+        model = self.model
+        g_src, adj_src = self.g_src, self.adj_src
+        g_tar, adj_tar = self.g_tar, self.adj_tar
+
+        @jax.jit
+        def score_src(variables, i1, i2):
+            p, _ = model.apply(
+                variables, g_src.x, adj_src, i1, i2,
+                method=AdversarialLearnerV2.get_probs_within_domain,
+                domain="source", mask=g_src.node_mask,
+            )
+            return p[:, 0]
+
+        @jax.jit
+        def score_tar(variables, i1, i2):
+            p, _ = model.apply(
+                variables, g_tar.x, adj_tar, i1, i2,
+                method=AdversarialLearnerV2.get_probs_within_domain,
+                domain="target", mask=g_tar.node_mask,
+            )
+            return p[:, 0]
+
+        @jax.jit
+        def score_cross(variables, i1, i2):
+            p, *_ = model.apply(
+                variables, g_src.x, adj_src, g_tar.x, adj_tar, i1, i2,
+                method=AdversarialLearnerV2.get_probs_cross_domain,
+                mask_src=g_src.node_mask, mask_tar=g_tar.node_mask,
+            )
+            return p[:, 0]
+
+        @jax.jit
+        def clf_probs(variables):
+            _, ps, pt, _, _ = model.apply(
+                variables, g_src.x, adj_src, g_tar.x, adj_tar,
+                jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
+                method=AdversarialLearnerV2.get_probs_cross_domain,
+                mask_src=g_src.node_mask, mask_tar=g_tar.node_mask,
+            )
+            return ps, pt
+
+        self.score_src, self.score_tar = score_src, score_tar
+        self.score_cross, self.clf_probs = score_cross, clf_probs
+
+    def _within(self, variables, data, score_fn, enu, split):
+        cfg = self.cfg
+        if cfg.eval_mode == "sampling":
+            idx1, idx2 = enu.balanced_sampling(
+                max_class_num=enu.num_classes,
+                sample_size=cfg.eval_sample_size, shuffle=False,
+            )
+        else:
+            mask1 = (
+                np.asarray(data["train_mask"])
+                | np.asarray(data["val_mask"])
+                | np.asarray(data["test_mask"])
+            )
+            mask2 = np.asarray(
+                data["val_mask" if split == "val" else "test_mask"]
+            )
+            idx1, idx2 = enumerate_all_pairs(
+                np.where(mask1)[0], np.where(mask2)[0]
+            )
+        y = np.asarray(data["y"])
+        y_pair = (y[idx1] == y[idx2]).astype(int)
+        probs = _pair_scores_in_chunks(
+            lambda a, b: score_fn(variables, a, b), idx1, idx2
+        )
+        return eval_metric(y_pair, (probs > 0.5).astype(int), cfg.metric,
+                           "binary", probs)
+
+    def _cross(self, variables, split):
+        cfg = self.cfg
+        enu = self.enus[split][2]
+        if cfg.eval_mode == "sampling":
+            idx1, idx2 = enu.balanced_sampling(
+                max_class_num=enu.num_classes,
+                sample_size=cfg.eval_sample_size, shuffle=False,
+            )
+        else:
+            # reference eval_cross_domain_v2 'all' (scripts.py:316-332)
+            sd, td = self.src_d, self.tar_d
+            if split == "val":
+                m_s1 = np.asarray(sd["val_mask"])
+                m_t1 = np.asarray(td["train_mask"]) | np.asarray(td["val_mask"])
+                m_s2 = np.asarray(sd["train_mask"])
+                m_t2 = np.asarray(td["val_mask"])
+            else:
+                m_s1 = np.asarray(sd["test_mask"])
+                m_t1 = (np.asarray(td["train_mask"])
+                        | np.asarray(td["test_mask"])
+                        | np.asarray(td["val_mask"]))
+                m_s2 = np.asarray(sd["train_mask"]) | np.asarray(sd["val_mask"])
+                m_t2 = np.asarray(td["test_mask"])
+            i1a, i2a = enumerate_all_pairs(np.where(m_s1)[0], np.where(m_t1)[0])
+            i1b, i2b = enumerate_all_pairs(np.where(m_s2)[0], np.where(m_t2)[0])
+            idx1 = np.concatenate([i1a, i1b])
+            idx2 = np.concatenate([i2a, i2b])
+        y_pair = (
+            np.asarray(self.src_d["y"])[idx1]
+            == np.asarray(self.tar_d["y"])[idx2]
+        ).astype(int)
+        probs = _pair_scores_in_chunks(
+            lambda a, b: self.score_cross(variables, a, b), idx1, idx2
+        )
+        return eval_metric(y_pair, (probs > 0.5).astype(int), cfg.metric,
+                           "binary", probs)
+
+    def __call__(self, variables, split: str):
+        enu_src, enu_tar, _ = self.enus[split]
+        pair_src = self._within(
+            variables, self.src_d, self.score_src, enu_src, split
+        )
+        pair_tar = self._within(
+            variables, self.tar_d, self.score_tar, enu_tar, split
+        )
+        pair_cross = self._cross(variables, split)
+        # node classification per domain on the split mask
+        ps, pt = self.clf_probs(variables)
+        clf = {}
+        for name, data, probs in (
+            ("src", self.src_d, ps), ("tar", self.tar_d, pt)
+        ):
+            mask = np.asarray(
+                data["val_mask" if split == "val" else "test_mask"]
+            )
+            pred = np.asarray(probs).argmax(1)[: len(mask)][mask]
+            clf[name] = eval_metric(
+                np.asarray(data["y"])[mask], pred, self.cfg.metric, "macro"
+            )
+        return pair_src, clf["src"], pair_tar, clf["tar"], pair_cross
+
+
+def train_adversarial(
+    src_d: Dict[str, np.ndarray],
+    tar_d: Dict[str, np.ndarray],
+    cfg: Optional[Stage1Config] = None,
+    ckpt_path: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Full stage-1 run (reference main_adv_v2, scripts.py:430-555).
+    Returns best scores + the best variables for bridge construction."""
+    cfg = cfg or Stage1Config()
+    g_src = graph_from_dict(src_d)
+    g_tar = graph_from_dict(tar_d)
+    adj_src = (
+        adjacency_from_graph(g_src) if cfg.backbone == "gnn" else None
+    )
+    adj_tar = (
+        adjacency_from_graph(g_tar) if cfg.backbone == "gnn" else None
+    )
+    model = build_model(cfg, src_d, tar_d)
+
+    final = {"train": [], "val": [], "test": []}
+    best_overall = None
+    for rep in range(cfg.repeat):
+        seed = cfg.seed if cfg.seed is not None else rep
+        host_rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        key, init_key, drop_key = jax.random.split(key, 3)
+        variables = model.init(
+            {"params": init_key, "dropout": drop_key},
+            g_src.x, adj_src, g_tar.x, adj_tar,
+            jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+            mask_src=g_src.node_mask, mask_tar=g_tar.node_mask,
+            method=AdversarialLearnerV2.init_all,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        sim_step, d_step, tx_st, tx_d = make_train_steps(
+            model, g_src, adj_src, g_tar, adj_tar, cfg.use_clf
+        )
+        opt_st = tx_st.init(params)
+        opt_d = tx_d.init(params)
+
+        enu_src = PairEnumerator(src_d, "train", host_rng)
+        enu_tar = PairEnumerator(tar_d, "train", host_rng)
+        enu_cross = PairEnumeratorCross(src_d, tar_d, "train", host_rng)
+        evaluator = Stage1Evaluator(
+            model, None, g_src, adj_src, g_tar, adj_tar, src_d, tar_d,
+            cfg, host_rng,
+        )
+
+        y_src_np = np.asarray(src_d["y"])
+        y_tar_np = np.asarray(tar_d["y"])
+        best = {"epoch": -1, "train": (0, 0, 0), "val": (0, 0, 0),
+                "test": (0, 0, 0), "loss": 666.0}
+        best_vars = None
+        for epoch in range(1, cfg.num_epoch + 1):
+            t0 = time.time()
+            i1s, i2s = enu_src.sampling(cfg.max_class_num, cfg.sample_size)
+            i1t, i2t = enu_tar.sampling(cfg.max_class_num, cfg.sample_size)
+            i1c, i2c = enu_cross.sampling(cfg.max_class_num, cfg.sample_size)
+            idxs = dict(
+                src1=jnp.asarray(i1s, jnp.int32),
+                src2=jnp.asarray(i2s, jnp.int32),
+                tar1=jnp.asarray(i1t, jnp.int32),
+                tar2=jnp.asarray(i2t, jnp.int32),
+                cross1=jnp.asarray(i1c, jnp.int32),
+                cross2=jnp.asarray(i2c, jnp.int32),
+            )
+            y_pairs = dict(
+                src=jnp.asarray((y_src_np[i1s] == y_src_np[i2s]).astype(
+                    np.float32)),
+                tar=jnp.asarray((y_tar_np[i1t] == y_tar_np[i2t]).astype(
+                    np.float32)),
+                cross=jnp.asarray((y_src_np[i1c] == y_tar_np[i2c]).astype(
+                    np.float32)),
+            )
+            key, drop_key = jax.random.split(key)
+            params, batch_stats, opt_st, loss_sim, aux = sim_step(
+                params, batch_stats, opt_st, drop_key, idxs, y_pairs
+            )
+            params, opt_d, loss_d = d_step(
+                params, batch_stats, opt_d, aux["h_src"], aux["h_tar"]
+            )
+
+            train_scores = tuple(
+                eval_metric(
+                    np.asarray(y_pairs[k]).astype(int),
+                    (np.asarray(aux[f"probs_{k}"]) > 0.5).astype(int),
+                    cfg.metric, "binary",
+                )
+                for k in ("src", "tar", "cross")
+            )
+            if cfg.verbose:
+                print(
+                    f"[rep {rep}] epoch {epoch:03d} loss {float(loss_sim):.4f}"
+                    f" d {float(loss_d):.4f} ae {float(aux['loss_ae']):.4f}"
+                    f" pair {train_scores} {time.time() - t0:.2f}s"
+                )
+            if (
+                epoch >= cfg.start_eval_epoch
+                and epoch % cfg.eval_per_epoch == 0
+            ):
+                cur_vars = {"params": params, "batch_stats": batch_stats}
+                val = evaluator(cur_vars, "val")
+                test = evaluator(cur_vars, "test")
+                if val[4] > best["val"][2]:
+                    best.update(
+                        epoch=epoch, train=train_scores,
+                        val=(val[0], val[2], val[4]),
+                        test=(test[0], test[2], test[4]),
+                        loss=float(loss_sim),
+                    )
+                    best_vars = jax.tree.map(np.asarray, cur_vars)
+        if best_vars is None:
+            best_vars = jax.tree.map(
+                np.asarray, {"params": params, "batch_stats": batch_stats}
+            )
+        final["train"].append(best["train"])
+        final["val"].append(best["val"])
+        final["test"].append(best["test"])
+        if best_overall is None or best["val"][2] >= best_overall[0]:
+            best_overall = (best["val"][2], best_vars, best)
+
+    if ckpt_path:
+        with open(ckpt_path, "wb") as f:
+            pickle.dump(best_overall[1], f)
+    return dict(
+        best=best_overall[2],
+        variables=best_overall[1],
+        final=final,
+        model=model,
+    )
