@@ -155,13 +155,34 @@ class KTGNN(nn.Module):
     dropout: float = 0.5
     use_bn: bool = True
     axis_name: Optional[str] = None
+    # feature-complementor options (reference KTGNN.py:340-341; all run.sh
+    # configs use need_complement=False)
+    need_complement: bool = False
+    dim_share: int = 0
+    hidden_o: int = 128
+    hidden_u: int = 128
+    step: int = 1
+    use_dist_loss: bool = False
 
     @nn.compact
     def __call__(
-        self, g: Graph, adj: Adjacency, train: bool = False
+        self, g: Graph, adj: Adjacency, train: bool = False,
+        frontiers=None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
-        x = g.x
         cm, nm = g.central_mask, g.node_mask
+        loss_dist = None
+        if self.need_complement:
+            from bridged_gnn_tpu.nn.complementor import AdaptedComplementor
+
+            x, loss_dist = AdaptedComplementor(
+                dim_o=self.dim_share,
+                dim_u=g.x.shape[1] - self.dim_share,
+                hidden_o=self.hidden_o, hidden_u=self.hidden_u,
+                step=self.step, use_dist_loss=self.use_dist_loss,
+                name="complementor",
+            )(g.x, frontiers, cm, nm, train)
+        else:
+            x = g.x
         n_convs = max(self.layer_num - 1, 1)
         for i in range(n_convs):
             x = AdaptedConv(
@@ -192,7 +213,7 @@ class KTGNN(nn.Module):
             nn.log_softmax(logits_base, axis=1),
             nn.log_softmax(logits_target, axis=1),
             nn.log_softmax(logits_target_hat, axis=1),
-            None,
+            loss_dist,
         )
 
 
