@@ -57,6 +57,9 @@ class Stage2Config:
     to_undirected: bool = False
     adjacency_method: str = "auto"
     log_every: int = 0  # 0 = silent
+    ckpt_dir: Optional[str] = None   # enable periodic checkpoints + resume
+    ckpt_every: int = 50
+    resume: bool = False
 
 
 def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array):
@@ -245,9 +248,36 @@ def train_ktgnn(
     best = {"train": 0.0, "val": 0.0, "test": 0.0, "loss": 666.0,
             "epoch": -1}
     history = []
+    start_epoch = 1
+    ckptr = None
+    if cfg.ckpt_dir:
+        from flax import serialization
+
+        from bridged_gnn_tpu.train.checkpoint import TrainCheckpointer
+
+        ckptr = TrainCheckpointer(cfg.ckpt_dir)
+        if cfg.resume:
+            raw = ckptr.restore()
+            if raw is not None:
+                template = dict(params=params, batch_stats=batch_stats,
+                                opt_state=opt_state, rng=rng)
+                restored = serialization.from_state_dict(
+                    template, raw["state"]
+                )
+                params = restored["params"]
+                batch_stats = restored["batch_stats"]
+                opt_state = restored["opt_state"]
+                rng = jnp.asarray(restored["rng"])
+                best = {
+                    k: (int(v) if k == "epoch"
+                        else float(v) if isinstance(v, (int, float, np.number))
+                        else v)
+                    for k, v in raw["best"].items()
+                }
+                start_epoch = int(raw["epoch"]) + 1
     t_start = time.time()
     epoch_times = []
-    for epoch in range(1, cfg.num_epoch + 1):
+    for epoch in range(start_epoch, cfg.num_epoch + 1):
         t0 = time.time()
         rng, drop_rng = jax.random.split(rng)
         params, batch_stats, opt_state, loss, aux = train_step(
@@ -271,6 +301,19 @@ def train_ktgnn(
                 test=scores["test"], loss=loss_t2, epoch=epoch,
                 per_head=per_head,
             )
+        if ckptr is not None and (
+            epoch % cfg.ckpt_every == 0 or epoch == cfg.num_epoch
+        ):
+            from flax import serialization
+
+            ckptr.save(epoch, dict(
+                state=serialization.to_state_dict(dict(
+                    params=params, batch_stats=batch_stats,
+                    opt_state=opt_state, rng=rng,
+                )),
+                best=best,
+                epoch=epoch,
+            ))
 
     return dict(
         best=best,
