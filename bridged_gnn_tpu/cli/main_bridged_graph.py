@@ -93,6 +93,12 @@ def main(args):
         loops = np.arange(n, dtype=np.int64)
         src_d = dict(src_d, edge_index=np.stack([loops, loops]))
 
+    # --version v1 is the GraphEncoder(SAGE)-backbone + cosine-head family
+    # (reference Adversarial_Learner, models/models.py:815-844); v2 selects
+    # backbone/sim head from the flags (models.py:1110-1142)
+    backbone = "gnn" if args.version == "v1" else args.backbone
+    sim_mode = "cosine" if args.version == "v1" else args.sim_mode
+
     cfg = Stage1Config(
         hidden_dim=args.hidden_dim,
         num_layer=args.num_layer,
@@ -101,8 +107,8 @@ def main(args):
         eval_per_epoch=args.eval_per_epoch,
         max_class_num=args.max_class_num,
         sample_size=args.sample_size,
-        sim_mode=args.sim_mode,
-        backbone=args.backbone,
+        sim_mode=sim_mode,
+        backbone=backbone,
         norm_mode=args.norm_mode,
         norm_scale=args.norm_scale,
         eval_mode=args.eval_mode,
@@ -122,8 +128,8 @@ def main(args):
     # bridge construction from the best checkpoint
     g_src = graph_from_dict(src_d)
     g_tar = graph_from_dict(tar_d)
-    adj_src = adjacency_from_graph(g_src) if args.backbone == "gnn" else None
-    adj_tar = adjacency_from_graph(g_tar) if args.backbone == "gnn" else None
+    adj_src = adjacency_from_graph(g_src) if backbone == "gnn" else None
+    adj_tar = adjacency_from_graph(g_tar) if backbone == "gnn" else None
     merged = gen_bridged_graph(
         res["model"], res["variables"], g_src, adj_src, g_tar, adj_tar,
         m_src, m_tar,
@@ -131,7 +137,7 @@ def main(args):
         check_cross=args.check_cross, check_within=args.check_within,
         thres_conf_quantile=args.thres_conf_quantile,
         thres_feat_sim=args.thres_feat_sim,
-        sim_mode=args.sim_mode, epsilon=args.epsilon,
+        sim_mode=sim_mode, epsilon=args.epsilon,
         verbose=args.verbose,
     )
     h1, h2 = eval_homophily(merged)
