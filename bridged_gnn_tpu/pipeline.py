@@ -1,0 +1,82 @@
+"""One-call orchestration of the full two-stage KBL pipeline.
+
+``run_pipeline(cfg)`` = prepare datasets → stage-1 adversarial training →
+bridge construction → stage-2 KT-GNN training, with optional elastic
+retries and artifact persistence. This is the programmatic equivalent of
+running the reference's two CLIs back-to-back (run.sh recipes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from bridged_gnn_tpu.bridge import gen_bridged_graph
+from bridged_gnn_tpu.config import PipelineConfig
+from bridged_gnn_tpu.data import prepare_datasets
+from bridged_gnn_tpu.graph import graph_from_dict
+from bridged_gnn_tpu.io.serialize import save_graph_npz
+from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+from bridged_gnn_tpu.train.stage1 import train_adversarial
+from bridged_gnn_tpu.train.stage2 import train_ktgnn
+from bridged_gnn_tpu.utils import eval_bridged_graph, eval_homophily
+
+
+def run_pipeline(
+    cfg: PipelineConfig,
+    out_dir: Optional[str] = None,
+    mesh=None,
+    elastic: bool = False,
+) -> Dict[str, Any]:
+    src_d, tar_d, data, m_src, m_tar = prepare_datasets(
+        cfg.dataset_name, cfg.data_root
+    )
+
+    stage1_fn = train_adversarial
+    stage2_fn = train_ktgnn
+    if elastic:
+        from functools import partial
+
+        from bridged_gnn_tpu.train.elastic import run_elastic
+
+        stage1_fn = partial(run_elastic, train_adversarial)
+        stage2_fn = partial(run_elastic, train_ktgnn)
+
+    res1 = stage1_fn(src_d, tar_d, cfg.stage1)
+
+    g_src = graph_from_dict(src_d)
+    g_tar = graph_from_dict(tar_d)
+    use_adj = cfg.stage1.backbone == "gnn"
+    adj_src = adjacency_from_graph(g_src) if use_adj else None
+    adj_tar = adjacency_from_graph(g_tar) if use_adj else None
+    merged = gen_bridged_graph(
+        res1["model"], res1["variables"], g_src, adj_src, g_tar, adj_tar,
+        m_src, m_tar,
+        k_cross=cfg.bridge.k_cross, k_within=cfg.bridge.k_within,
+        check_cross=cfg.bridge.check_cross,
+        check_within=cfg.bridge.check_within,
+        thres_conf_quantile=cfg.bridge.thres_conf_quantile,
+        thres_feat_sim=cfg.bridge.thres_feat_sim,
+        sim_mode=cfg.stage1.sim_mode, epsilon=cfg.bridge.epsilon,
+        row_block=cfg.bridge.row_block, mesh=mesh,
+    )
+    diagnostics = dict(
+        homophily=eval_homophily(merged),
+        local_homophily_test=eval_bridged_graph(merged),
+    )
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        save_graph_npz(
+            os.path.join(out_dir, f"{cfg.dataset_name}_bridged_graph.npz"),
+            merged,
+        )
+
+    res2 = stage2_fn(merged, cfg.stage2)
+    return dict(
+        stage1=res1["best"],
+        stage2=res2["best"],
+        bridged_graph=merged,
+        diagnostics=diagnostics,
+    )
