@@ -1,16 +1,22 @@
-"""Benchmark: SpMM aggregate throughput (edges/s/chip) on TPU vs torch-CPU.
+"""Benchmark: SpMM aggregate throughput (edges/s/chip) vs torch-CPU.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": R}
 
 The measured op is the framework's hot aggregation primitive (gather +
-destination-sorted segment-sum — the reference's torch_sparse SpMM
-equivalent, SURVEY §2b) on a synthetic power-of-two graph, bf16 features.
-The baseline is the same op in torch on CPU (index_add), standing in for
-the PyG-CPU scatter-add path (PyG itself is not installed here).
+destination-sorted segment reduce — the reference's torch_sparse SpMM
+equivalent, SURVEY §2b) on a synthetic 131k-node / 2M-edge graph with
+bf16 features. Baseline: the same op in torch on CPU (index_add), standing
+in for the PyG-CPU scatter-add path (PyG is not installed here).
+
+The device measurement runs in a child process with a watchdog: if the TPU
+tunnel is unreachable (it can wedge), the benchmark falls back to the JAX
+CPU backend and flags it in the metric name rather than hanging the driver.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -22,43 +28,67 @@ D = 128
 WARMUP = 3
 ITERS = 20
 CPU_ITERS = 3
+DEVICE_TIMEOUT_S = int(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "600"))
+
+_CHILD_CODE = r"""
+import json, sys, time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+platform = sys.argv[1]
+if platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, {repo!r})
+from bridged_gnn_tpu.ops.spmm import spmm_edges
+
+N, E, D, WARMUP, ITERS = {n}, {e}, {d}, {warmup}, {iters}
+rng = np.random.default_rng(0)
+senders = jnp.asarray(rng.integers(0, N, size=E).astype(np.int32))
+receivers = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+em = jnp.ones(E, dtype=bool)
+x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32),
+                dtype=jnp.bfloat16)
+f = jax.jit(lambda x: spmm_edges(senders, receivers, em, x, N, reduce="sum"))
+out = f(x); out.block_until_ready()
+for _ in range(WARMUP):
+    f(x).block_until_ready()
+t0 = time.perf_counter()
+for _ in range(ITERS):
+    out = f(x)
+out.block_until_ready()
+dt = (time.perf_counter() - t0) / ITERS
+print(json.dumps({{"dt": dt, "platform": jax.devices()[0].platform}}))
+"""
 
 
-def bench_tpu():
-    import jax
-    import jax.numpy as jnp
-
-    from bridged_gnn_tpu.ops.spmm import spmm_edges
-
-    rng = np.random.default_rng(0)
-    senders = rng.integers(0, N, size=E).astype(np.int32)
-    receivers = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
-    x = rng.normal(size=(N, D)).astype(np.float32)
-
-    s = jnp.asarray(senders)
-    r = jnp.asarray(receivers)
-    em = jnp.ones(E, dtype=bool)
-    xb = jnp.asarray(x, dtype=jnp.bfloat16)
-
-    f = jax.jit(
-        lambda x: spmm_edges(s, r, em, x, N, reduce="sum")
+def bench_device(platform: str):
+    code = _CHILD_CODE.format(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        n=N, e=E, d=D, warmup=WARMUP, iters=ITERS,
     )
-    out = f(xb)
-    out.block_until_ready()
-    for _ in range(WARMUP):
-        f(xb).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = f(xb)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
-    return E / dt, dt
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code, platform],
+            capture_output=True, text=True,
+            timeout=DEVICE_TIMEOUT_S if platform != "cpu" else 1800,
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        print(f"# bench child failed: {proc.stderr[-500:]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"# bench child timed out on platform={platform}",
+              file=sys.stderr)
+    return None
 
 
 def bench_torch_cpu():
     import torch
 
-    torch.manual_seed(0)
     rng = np.random.default_rng(0)
     senders = torch.from_numpy(rng.integers(0, N, size=E)).long()
     receivers = torch.from_numpy(np.sort(rng.integers(0, N, size=E))).long()
@@ -78,22 +108,30 @@ def bench_torch_cpu():
 
 
 def main():
-    tpu_eps, tpu_dt = bench_tpu()
+    res = bench_device("default")  # TPU when the tunnel is alive
+    metric = "spmm_edges_per_sec_chip"
+    if res is None:
+        res = bench_device("cpu")
+        metric = "spmm_edges_per_sec_chip_CPU_FALLBACK_TUNNEL_DOWN"
+    if res is None:
+        print(json.dumps({"metric": metric, "value": 0, "unit": "edges/s",
+                          "vs_baseline": 0.0}))
+        return
+    dev_eps = E / res["dt"]
     cpu_eps, cpu_dt = bench_torch_cpu()
     print(
-        f"# tpu spmm: {tpu_dt*1e3:.3f} ms/iter ({tpu_eps/1e9:.2f} Gedges/s)"
-        f" | torch-cpu: {cpu_dt*1e3:.1f} ms/iter ({cpu_eps/1e6:.1f} Medges/s)",
+        f"# {res['platform']} spmm: {res['dt']*1e3:.3f} ms/iter "
+        f"({dev_eps/1e6:.1f} Medges/s) | torch-cpu: {cpu_dt*1e3:.1f} ms "
+        f"({cpu_eps/1e6:.1f} Medges/s)",
         file=sys.stderr,
     )
     print(
-        json.dumps(
-            {
-                "metric": "spmm_edges_per_sec_chip",
-                "value": round(tpu_eps),
-                "unit": "edges/s",
-                "vs_baseline": round(tpu_eps / cpu_eps, 2),
-            }
-        )
+        json.dumps({
+            "metric": metric,
+            "value": round(dev_eps),
+            "unit": "edges/s",
+            "vs_baseline": round(dev_eps / cpu_eps, 2),
+        })
     )
 
 
