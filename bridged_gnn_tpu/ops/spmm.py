@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from bridged_gnn_tpu.ops.segment import segment_sum
@@ -35,14 +36,27 @@ DENSE_MAX_NODES = 8192
 
 @struct.dataclass
 class Adjacency:
-    """Cached adjacency operator (built once per graph, reused per layer)."""
+    """Cached adjacency operator (built once per graph, reused per layer).
+
+    Execution paths, by preference when present:
+      dense   — one-hot adjacency matmul on the MXU (small graphs);
+      blocked — lax.map of per-node-block one-hot matmuls over contiguous
+                dst-sorted edge ranges (ops/blocked_segment.py) — the
+                scalable MXU path;
+      gather  — gather + segment_sum (XLA scatter), the portable fallback
+                and the path that shards under shard_map.
+    """
 
     senders: jax.Array      # [E_pad] int32
     receivers: jax.Array    # [E_pad] int32
     edge_mask: jax.Array    # [E_pad] bool
     dense: Optional[jax.Array]  # [N_pad, N_pad] float, dense[dst, src] = 1
     in_degree: jax.Array    # [N_pad] float (real edges into each node)
-    num_nodes: int = struct.field(pytree_node=False)
+    block_start: Optional[jax.Array] = None   # [n_blocks] int32
+    num_nodes: int = struct.field(pytree_node=False, default=0)
+    block_max_edges: int = struct.field(pytree_node=False, default=0)
+    block_node_block: int = struct.field(pytree_node=False, default=0)
+    block_num_blocks: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_nodes_padded(self) -> int:
@@ -51,6 +65,10 @@ class Adjacency:
     @property
     def use_dense(self) -> bool:
         return self.dense is not None
+
+    @property
+    def use_blocked(self) -> bool:
+        return self.block_start is not None
 
 
 def build_adjacency(
@@ -66,14 +84,29 @@ def build_adjacency(
     w = edge_mask.astype(dtype)
     in_degree = segment_sum(w, receivers, n_pad, indices_are_sorted=True)
     if method == "auto":
-        method = "dense" if n_pad <= DENSE_MAX_NODES else "gather"
+        method = "dense" if n_pad <= DENSE_MAX_NODES else "blocked"
     dense = None
+    block_kwargs = {}
     if method == "dense":
         dense = (
             jnp.zeros((n_pad, n_pad), dtype=dtype)
             .at[receivers, senders]
             .add(w)
         )
+    elif method == "blocked":
+        from bridged_gnn_tpu.ops.blocked_segment import build_block_meta
+
+        meta = build_block_meta(np.asarray(receivers), n_pad)
+        # heavy degree skew makes the static per-block bound wasteful;
+        # fall back to the gather path beyond 8x the mean
+        mean_e = max(len(np.asarray(receivers)) // meta.num_blocks, 1)
+        if meta.max_edges <= 8 * max(mean_e, meta.node_block):
+            block_kwargs = dict(
+                block_start=jnp.asarray(meta.block_start),
+                block_max_edges=meta.max_edges,
+                block_node_block=meta.node_block,
+                block_num_blocks=meta.num_blocks,
+            )
     return Adjacency(
         senders=senders,
         receivers=receivers,
@@ -81,6 +114,7 @@ def build_adjacency(
         dense=dense,
         in_degree=in_degree,
         num_nodes=num_nodes,
+        **block_kwargs,
     )
 
 
@@ -130,6 +164,19 @@ def spmm(
         )
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
+    elif adj.use_blocked and axis_name is None:
+        from bridged_gnn_tpu.ops.blocked_segment import segment_sum_blocked
+
+        msg = x[adj.senders]
+        if edge_weights is not None:
+            msg = msg * edge_weights.reshape(
+                edge_weights.shape + (1,) * (msg.ndim - edge_weights.ndim)
+            ).astype(msg.dtype)
+        msg = jnp.where(adj.edge_mask[:, None], msg, 0)
+        out = segment_sum_blocked(
+            msg, adj.receivers, adj.block_start, n_pad,
+            adj.block_node_block, adj.block_max_edges, adj.block_num_blocks,
+        )
     else:
         msg = x[adj.senders]
         if edge_weights is not None:

@@ -29,7 +29,7 @@ def make_graph(rng, n=40, e=150, d=12, c=4):
     )
 
 
-@pytest.mark.parametrize("method", ["dense", "gather"])
+@pytest.mark.parametrize("method", ["dense", "gather", "blocked"])
 def test_ktgnn_forward_parity(rng, method):
     d = make_graph(rng)
     g = with_self_loops(graph_from_dict(d))

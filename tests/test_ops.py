@@ -89,7 +89,7 @@ def _ref_spmm(ei, x, n, w=None, reduce="sum"):
     return out
 
 
-@pytest.mark.parametrize("method", ["dense", "gather"])
+@pytest.mark.parametrize("method", ["dense", "gather", "blocked"])
 @pytest.mark.parametrize("reduce", ["sum", "mean"])
 def test_spmm_paths(rng, method, reduce):
     n, e, d = 30, 100, 16
@@ -104,7 +104,7 @@ def test_spmm_paths(rng, method, reduce):
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("method", ["dense", "gather"])
+@pytest.mark.parametrize("method", ["dense", "gather", "blocked"])
 def test_spmm_edge_weights(rng, method):
     n, e, d = 25, 80, 8
     ei = rng.integers(0, n, size=(2, e))
