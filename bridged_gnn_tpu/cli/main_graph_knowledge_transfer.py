@@ -29,8 +29,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--dataset_name", type=str,
                     default="twitter_unrelational")
     ap.add_argument("--model_name", type=str, default="KTGNN",
-                    choices=["MLP", "GCN", "GAT", "GATv2", "GraphSAGE",
-                             "GIN", "JKNet", "APPNP", "KTGNN"])
+                    choices=["MLP", "GCN", "GAT", "GATv2", "GraphSAGE", "GIN",
+                             "JKNet", "APPNP", "GCN2", "DeeperGCN", "KTGNN"])
     ap.add_argument("--eval_metric", type=str, default="f1",
                     choices=["f1", "auc", "acc"])
     ap.add_argument("--save", action="store_true", default=False)

@@ -153,6 +153,17 @@ def prepare_datasets(
         data["train_mask"][data["central_mask"] & (data["y"] != -1)] = True
         if dataset_name.endswith("unrelational"):
             _self_loops_only(data)
+        else:
+            # relational variant: undirected + self loops
+            # (reference datasets.py:24-29)
+            from bridged_gnn_tpu.graph import add_self_loops_np, coalesce_np
+
+            n = data["x"].shape[0]
+            ei = data["edge_index"]
+            both = coalesce_np(
+                np.concatenate([ei, ei[::-1]], axis=1), n
+            )
+            data["edge_index"] = add_self_loops_np(both, n)
         split_data = True
     elif dataset_name.startswith("office"):
         data = load_pyg_data_dict(

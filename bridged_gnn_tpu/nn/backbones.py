@@ -267,6 +267,75 @@ class APPNPNet(nn.Module):
         return nn.log_softmax(x, axis=1)
 
 
+class GCN2Net(nn.Module):
+    """GCNII: initial-residual + identity-mapping convs
+    (reference backbones.py:163-197): x' = ((1-α)Âx + αx₀)((1-β)I + βW),
+    β = log(θ/ℓ + 1)."""
+
+    num_classes: int
+    hidden: int = 64
+    num_layers: int = 8
+    alpha: float = 0.1
+    theta: float = 0.5
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
+        import math
+
+        norm_w = gcn_norm_weights(adj)
+        x = nn.Dropout(self.dropout, deterministic=not train)(g.x)
+        x = x0 = nn.relu(glorot_dense(self.hidden, name="lin_in")(x))
+        for layer in range(self.num_layers):
+            beta = math.log(self.theta / (layer + 1) + 1.0)
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            h = (1 - self.alpha) * spmm(adj, x, edge_weights=norm_w) \
+                + self.alpha * x0
+            w = glorot_dense(self.hidden, use_bias=False,
+                             name=f"convs_{layer}")(h)
+            x = nn.relu((1 - beta) * h + beta * w)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = glorot_dense(self.num_classes, name="lin_out")(x)
+        return nn.log_softmax(x, axis=1)
+
+
+class DeeperGCNNet(nn.Module):
+    """DeeperGCN-style residual stack (reference backbones.py:130-161):
+    pre-activation res+ blocks of LayerNorm → ReLU → softmax-aggregated
+    conv, with a learnable aggregation temperature per block."""
+
+    num_classes: int
+    hidden: int = 64
+    num_layers: int = 4
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
+        x = glorot_dense(self.hidden, name="node_encoder")(g.x)
+        s, r, em = adj.senders, adj.receivers, adj.edge_mask
+        n_pad = adj.num_nodes_padded
+
+        def gen_conv(h, i):
+            # softmax aggregation with learnable temperature t
+            t = self.param(f"t_{i}", nn.initializers.ones, ())
+            msg = glorot_dense(self.hidden, name=f"msg_{i}")(h)
+            msg_e = nn.relu(msg[s]) + 1e-7
+            w = segment_softmax(
+                jnp.sum(msg_e, axis=-1) * t, r, n_pad, mask=em
+            )
+            agg = segment_sum(msg_e * w[:, None], r, n_pad, mask=em)
+            return glorot_dense(self.hidden, name=f"upd_{i}")(h + agg)
+
+        for i in range(self.num_layers):
+            h = nn.LayerNorm(name=f"norm_{i}")(x)
+            h = nn.relu(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            x = x + gen_conv(h, i)
+        x = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(x))
+        x = glorot_dense(self.num_classes, name="lin")(x)
+        return nn.log_softmax(x, axis=1)
+
+
 _ZOO = {
     "GCN": lambda cfg, c: GCNNet(c, cfg.num_layer, cfg.hidden,
                                  dropout=cfg.dropout),
@@ -285,6 +354,11 @@ _ZOO = {
     "JKNet": lambda cfg, c: JKNet(c, cfg.hidden, cfg.num_layer,
                                   dropout=cfg.dropout),
     "APPNP": lambda cfg, c: APPNPNet(c, cfg.hidden, dropout=cfg.dropout),
+    "GCN2": lambda cfg, c: GCN2Net(c, cfg.hidden,
+                                   num_layers=max(cfg.num_layer, 2)),
+    "DeeperGCN": lambda cfg, c: DeeperGCNNet(
+        c, cfg.hidden, num_layers=max(cfg.num_layer, 2)
+    ),
 }
 
 

@@ -1,0 +1,152 @@
+"""Inference/serving layer.
+
+Production counterparts of the two trained artifacts:
+
+  * :class:`KTGNNPredictor` — full-graph node classification on a bridged
+    graph with a trained stage-2 model (all three heads), jit-compiled once
+    at construction and served from device memory;
+  * :class:`SimilarityScorer` — pair-similarity scoring + top-k neighbor
+    queries against a fixed source corpus using a trained stage-1 model
+    (the online analogue of bridge construction: embed the corpus once,
+    score queries in blocked batches).
+
+The reference has no serving layer (single research scripts); this module
+is new capability surfaced by the framework design.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bridged_gnn_tpu.graph import Graph, graph_from_dict, with_self_loops
+from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
+from bridged_gnn_tpu.ops.sddmm import blockwise_pair_scores_topk
+from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+
+class KTGNNPredictor:
+    """Serve class predictions over a bridged graph."""
+
+    def __init__(self, model, variables, data: Dict[str, np.ndarray],
+                 to_undirected: bool = True,
+                 adjacency_method: str = "auto"):
+        from bridged_gnn_tpu.train.stage2 import to_undirected_np
+
+        if to_undirected:
+            data = to_undirected_np(data)
+        self.graph = with_self_loops(graph_from_dict(data))
+        self.adj = adjacency_from_graph(self.graph, method=adjacency_method)
+        self.model = model
+        self.variables = jax.device_put(variables)
+
+        @jax.jit
+        def _predict(variables, g, adj):
+            outs = model.apply(variables, g, adj, False)
+            if isinstance(outs, tuple) and len(outs) == 4:
+                lp_s, lp_t, lp_that, _ = outs
+                return lp_s, lp_t, lp_that
+            lp = outs[0] if isinstance(outs, tuple) else outs
+            return lp, lp, lp
+
+        self._predict = _predict
+        # warmup compile
+        self._predict(self.variables, self.graph, self.adj)
+
+    def predict(self) -> Dict[str, np.ndarray]:
+        """Per-node log-probabilities from each head (real nodes only)."""
+        lp_s, lp_t, lp_that = self._predict(
+            self.variables, self.graph, self.adj
+        )
+        n = self.graph.num_nodes
+        return dict(
+            source=np.asarray(lp_s)[:n],
+            target=np.asarray(lp_t)[:n],
+            target_hat=np.asarray(lp_that)[:n],
+        )
+
+    def predict_labels(self, head: str = "target_hat") -> np.ndarray:
+        return self.predict()[head].argmax(1)
+
+
+class SimilarityScorer:
+    """Online cross-domain similarity service over a fixed source corpus."""
+
+    def __init__(self, model: AdversarialLearnerV2, variables,
+                 g_src: Graph, adj_src=None, sim_mode: str = "mlp",
+                 row_block: int = 256):
+        from bridged_gnn_tpu.bridge.build import (
+            _embed_cosine_side,
+            decompose_pair_mlp_head,
+        )
+
+        self.model = model
+        self.variables = variables
+        self.sim_mode = sim_mode
+        self.row_block = row_block
+        z_src = model.apply(
+            variables, g_src.x, adj_src, g_src.node_mask, False,
+            method=lambda m, x, adj, mask, train: m.source_learner.encode(
+                x, adj, mask, train
+            ),
+        )
+        z_src = np.asarray(z_src)[: g_src.num_nodes].astype(np.float32)
+        self.num_src = g_src.num_nodes
+        if sim_mode == "mlp":
+            d = decompose_pair_mlp_head(variables)
+            self._cols = jnp.asarray(z_src @ d["w_src"])
+            self._head = d
+        else:
+            self._cols = jnp.asarray(_embed_cosine_side(variables, z_src))
+            self._head = None
+
+    def _row_precompute(self, x_tar: np.ndarray, adj_tar=None) -> np.ndarray:
+        """Encode query (target-domain) features through the target AE."""
+        from bridged_gnn_tpu.graph import build_graph
+
+        g = build_graph(x_tar, np.zeros((2, 0), dtype=np.int64))
+        z = self.model.apply(
+            self.variables, g.x, adj_tar, g.node_mask, False,
+            method=lambda m, x, adj, mask, train: m.target_learner.encode(
+                x, adj, mask, train
+            )[0],
+        )
+        return np.asarray(z)[: x_tar.shape[0]].astype(np.float32)
+
+    def topk_sources(self, x_tar: np.ndarray, k: int,
+                     adj_tar=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k most similar source nodes per query row."""
+        from bridged_gnn_tpu.ops.sddmm import (
+            cosine_score_block,
+            pair_mlp_score_block,
+        )
+
+        z = self._row_precompute(x_tar, adj_tar)
+        n = z.shape[0]
+        rows_padded = (
+            (n + self.row_block - 1) // self.row_block
+        ) * self.row_block
+        if self.sim_mode == "mlp":
+            a = z @ self._head["w_tar"]
+            a_pad = np.zeros((rows_padded, a.shape[1]), dtype=np.float32)
+            a_pad[:n] = a
+            fn = pair_mlp_score_block(
+                jnp.asarray(a_pad), self._cols,
+                jnp.asarray(self._head["bias"]),
+                jnp.asarray(self._head["w2"]),
+                jnp.asarray(np.float32(self._head["b2"])),
+            )
+        else:
+            from bridged_gnn_tpu.bridge.build import _embed_cosine_side
+
+            a = _embed_cosine_side(self.variables, z)
+            a_pad = np.zeros((rows_padded, a.shape[1]), dtype=np.float32)
+            a_pad[:n] = a
+            fn = cosine_score_block(jnp.asarray(a_pad), self._cols)
+        vals, idxs = blockwise_pair_scores_topk(
+            fn, n, self.num_src, k, row_block=self.row_block
+        )
+        return np.asarray(vals)[:n], np.asarray(idxs)[:n]

@@ -6,7 +6,8 @@ import pytest
 from bridged_gnn_tpu.data.synthetic import make_sync_dataset
 from bridged_gnn_tpu.train.stage2 import Stage2Config, train_ktgnn
 
-MODELS = ["MLP", "GCN", "GraphSAGE", "GAT", "GATv2", "GIN", "JKNet", "APPNP"]
+MODELS = ["MLP", "GCN", "GraphSAGE", "GAT", "GATv2", "GIN", "JKNet",
+          "APPNP", "GCN2", "DeeperGCN"]
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +35,7 @@ def test_backbone_trains(data, model):
     assert losses[-1] < losses[0]
     # propagation-heavy models need more epochs than this smoke test runs
     # to beat chance on the tiny synthetic graph; check signal for the rest
-    if model not in ("APPNP",):
+    if model not in ("APPNP", "GCN2", "DeeperGCN"):
         assert res["best"]["test"] > 0.25
 
 

@@ -1,0 +1,85 @@
+"""Serving layer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bridged_gnn_tpu.data.synthetic import make_sync_dataset
+from bridged_gnn_tpu.graph import graph_from_dict
+from bridged_gnn_tpu.serve import KTGNNPredictor, SimilarityScorer
+from bridged_gnn_tpu.train.stage2 import Stage2Config, train_ktgnn
+
+
+@pytest.fixture(scope="module")
+def trained():
+    d = make_sync_dataset("relational-intra", n_src=120, n_tar=80, dim=12,
+                          num_classes=3, seed=2)
+    rng = np.random.default_rng(0)
+    n = d["x"].shape[0]
+    r = rng.random(n)
+    d["train_mask"] = r < 0.6
+    d["val_mask"] = (r >= 0.6) & (r < 0.8)
+    d["test_mask"] = r >= 0.8
+    cfg = Stage2Config(num_epoch=25, hidden=16, to_undirected=True,
+                       use_scheduler=False)
+    res = train_ktgnn(d, cfg)
+    return d, res, cfg
+
+
+def test_predictor_matches_training_eval(trained):
+    d, res, cfg = trained
+    from bridged_gnn_tpu.train.stage2 import build_model
+
+    num_classes = int(d["y"].max()) + 1
+    model = build_model(cfg, num_classes)
+    pred = KTGNNPredictor(
+        model, {"params": res["params"], "batch_stats": res["batch_stats"]},
+        dict(d), to_undirected=True,
+    )
+    out = pred.predict()
+    n = d["x"].shape[0]
+    assert out["target_hat"].shape == (n, num_classes)
+    labels = pred.predict_labels()
+    assert labels.shape == (n,)
+    # predictions should beat chance on the test split
+    test = d["test_mask"]
+    acc = (labels[test] == d["y"][test]).mean()
+    assert acc > 0.4
+
+
+def test_similarity_scorer(a2d_ckpt, rng):
+    from bridged_gnn_tpu.io.ckpt_import import (
+        merge_into_variables,
+        torch_state_dict_to_flax,
+    )
+    from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
+
+    model = AdversarialLearnerV2(
+        dim_in_src=256, dim_in_tar=256, num_classes_src=31,
+        num_classes_tar=31, dim_hidden=128, source_clf=True,
+        use_norm=True, norm_mode="None", backbone="mlp", sim_mode="mlp",
+    )
+    x = jnp.zeros((8, 256))
+    idx = jnp.zeros(4, dtype=jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), x, None, x, None, idx, idx,
+        method=AdversarialLearnerV2.init_all,
+    )
+    params, bs = torch_state_dict_to_flax(a2d_ckpt)
+    variables = merge_into_variables(variables, params, bs)
+
+    g_src = graph_from_dict(dict(
+        x=rng.normal(size=(60, 256)).astype(np.float32),
+        edge_index=np.zeros((2, 0), dtype=np.int64),
+        y=rng.integers(0, 31, size=60),
+    ))
+    scorer = SimilarityScorer(model, variables, g_src, sim_mode="mlp",
+                              row_block=16)
+    queries = rng.normal(size=(10, 256)).astype(np.float32)
+    vals, idxs = scorer.topk_sources(queries, k=5)
+    assert vals.shape == (10, 5) and idxs.shape == (10, 5)
+    assert (idxs < 60).all() and (idxs >= 0).all()
+    # values sorted descending, valid probabilities
+    assert (np.diff(vals, axis=1) <= 1e-6).all()
+    assert ((vals >= 0) & (vals <= 1)).all()
