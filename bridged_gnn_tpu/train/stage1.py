@@ -63,6 +63,9 @@ class Stage1Config:
     repeat: int = 1
     metric: str = "f1"
     verbose: bool = False
+    ckpt_dir: Optional[str] = None   # periodic checkpoints + resume
+    ckpt_every: int = 100
+    resume: bool = False
 
 
 def bce(probs, targets):
@@ -440,7 +443,34 @@ def train_adversarial(
         best = {"epoch": -1, "train": (0, 0, 0), "val": (0, 0, 0),
                 "test": (0, 0, 0), "loss": 666.0}
         best_vars = None
-        for epoch in range(1, cfg.num_epoch + 1):
+        start_epoch = 1
+        ckptr = None
+        if cfg.ckpt_dir and cfg.repeat == 1:
+            from flax import serialization
+
+            from bridged_gnn_tpu.train.checkpoint import TrainCheckpointer
+
+            ckptr = TrainCheckpointer(cfg.ckpt_dir)
+            if cfg.resume:
+                raw = ckptr.restore()
+                if raw is not None:
+                    template = dict(params=params, batch_stats=batch_stats,
+                                    opt_st=opt_st, opt_d=opt_d, key=key)
+                    restored = serialization.from_state_dict(
+                        template, raw["state"]
+                    )
+                    params = restored["params"]
+                    batch_stats = restored["batch_stats"]
+                    opt_st, opt_d = restored["opt_st"], restored["opt_d"]
+                    key = jnp.asarray(restored["key"])
+                    start_epoch = int(raw["epoch"]) + 1
+                    if "host_rng_state" in raw:
+                        host_rng.bit_generator.state = pickle.loads(
+                            np.asarray(
+                                raw["host_rng_state"], dtype=np.uint8
+                            ).tobytes()
+                        )
+        for epoch in range(start_epoch, cfg.num_epoch + 1):
             t0 = time.time()
             i1s, i2s = enu_src.sampling(cfg.max_class_num, cfg.sample_size)
             i1t, i2t = enu_tar.sampling(cfg.max_class_num, cfg.sample_size)
@@ -498,6 +528,24 @@ def train_adversarial(
                         loss=float(loss_sim),
                     )
                     best_vars = jax.tree.map(np.asarray, cur_vars)
+            if ckptr is not None and (
+                epoch % cfg.ckpt_every == 0 or epoch == cfg.num_epoch
+            ):
+                from flax import serialization
+
+                ckptr.save(epoch, dict(
+                    state=serialization.to_state_dict(dict(
+                        params=params, batch_stats=batch_stats,
+                        opt_st=opt_st, opt_d=opt_d, key=key,
+                    )),
+                    epoch=epoch,
+                    # host sampler RNG state → deterministic pair streams
+                    # (pickled to a uint8 array so Orbax can store it)
+                    host_rng_state=np.frombuffer(
+                        pickle.dumps(host_rng.bit_generator.state),
+                        dtype=np.uint8,
+                    ).copy(),
+                ))
         if best_vars is None:
             best_vars = jax.tree.map(
                 np.asarray, {"params": params, "batch_stats": batch_stats}
