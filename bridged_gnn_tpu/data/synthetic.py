@@ -87,27 +87,33 @@ def _homophilous_edges(
     unless ``allow_inter``."""
     n = len(y)
     num_edges = n * avg_degree
-    num_classes = y.max() + 1
-    by_class_domain = {}
+    num_classes = int(y.max()) + 1
+    pools = {}
     for dom in (True, False):
         for c in range(num_classes):
-            by_class_domain[(dom, c)] = np.where(
-                (central == dom) & (y == c)
-            )[0]
+            pools[(dom, c)] = np.where((central == dom) & (y == c))[0]
+        pools[(dom, -1)] = np.where(central == dom)[0]
+
     src = rng.integers(0, n, size=num_edges)
     same_class = rng.random(num_edges) < homophily
+    if allow_inter:
+        dst_dom = rng.integers(0, 2, size=num_edges).astype(bool)
+    else:
+        dst_dom = central[src]
+    dst_cls = np.where(
+        same_class, y[src], rng.integers(0, num_classes, size=num_edges)
+    )
+    # vectorized: group edges by (domain, class) bucket, draw uniformly
     dst = np.empty(num_edges, dtype=np.int64)
-    for e in range(num_edges):
-        u = src[e]
-        dom = central[u] if not allow_inter else bool(rng.integers(0, 2))
-        if same_class[e]:
-            pool = by_class_domain[(dom, y[u])]
-        else:
-            c = rng.integers(0, num_classes)
-            pool = by_class_domain[(dom, c)]
-        if len(pool) == 0:
-            pool = np.where(central == dom)[0]
-        dst[e] = pool[rng.integers(0, len(pool))]
+    for dom in (True, False):
+        for c in range(num_classes):
+            m = (dst_dom == dom) & (dst_cls == c)
+            if not m.any():
+                continue
+            pool = pools[(dom, c)]
+            if len(pool) == 0:
+                pool = pools[(dom, -1)]
+            dst[m] = pool[rng.integers(0, len(pool), size=m.sum())]
     return np.stack([src.astype(np.int64), dst])
 
 
