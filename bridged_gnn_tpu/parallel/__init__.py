@@ -5,3 +5,7 @@ from bridged_gnn_tpu.parallel.edgeshard import (  # noqa: F401
     sharded_spmm,
 )
 from bridged_gnn_tpu.parallel.topk import sharded_pair_topk  # noqa: F401
+from bridged_gnn_tpu.parallel.rowpart import (  # noqa: F401
+    build_row_partition,
+    rowpart_spmm,
+)
