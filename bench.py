@@ -41,16 +41,20 @@ if platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, {repo!r})
-from bridged_gnn_tpu.ops.spmm import spmm_edges
+from bridged_gnn_tpu.ops.blocked_segment import build_block_meta, spmm_blocked
 
 N, E, D, WARMUP, ITERS = {n}, {e}, {d}, {warmup}, {iters}
 rng = np.random.default_rng(0)
 senders = jnp.asarray(rng.integers(0, N, size=E).astype(np.int32))
-receivers = jnp.asarray(np.sort(rng.integers(0, N, size=E)).astype(np.int32))
+rnp = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
+receivers = jnp.asarray(rnp)
 em = jnp.ones(E, dtype=bool)
 x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32),
                 dtype=jnp.bfloat16)
-f = jax.jit(lambda x: spmm_edges(senders, receivers, em, x, N, reduce="sum"))
+meta = build_block_meta(rnp, N, 512)
+f = jax.jit(
+    lambda x: spmm_blocked(x, senders, receivers, em, meta, N)
+)
 out = f(x); out.block_until_ready()
 for _ in range(WARMUP):
     f(x).block_until_ready()
