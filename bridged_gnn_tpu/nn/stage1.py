@@ -84,7 +84,9 @@ class GraphEncoder(nn.Module):
             else [self.dim_hidden] * (self.layer_num - 1) + [self.dim_out]
         )
         for i, d in enumerate(dims):
-            x = SAGEConv(d, root_weight=self.root_weight, name=f"layers_{i}")(
+            # named convs_{i} to mirror the torch state_dict layout
+            # (GraphEncoder.convs, models/models.py:224)
+            x = SAGEConv(d, root_weight=self.root_weight, name=f"convs_{i}")(
                 x, adj
             )
             if i < len(dims) - 1:
