@@ -202,14 +202,16 @@ def train_ktgnn(
         )
         if is_ktgnn:
             lp_s, lp_t, lp_that, _ = outs
-            return (
-                jnp.argmax(lp_s, axis=1),
-                jnp.argmax(lp_t, axis=1),
-                jnp.argmax(lp_that, axis=1),
+        else:
+            lp_s = lp_t = lp_that = (
+                outs[0] if isinstance(outs, tuple) else outs
             )
-        lp = outs[0] if isinstance(outs, tuple) else outs
-        pred = jnp.argmax(lp, axis=1)
-        return pred, pred, pred
+        return (
+            jnp.argmax(lp_s, axis=1),
+            jnp.argmax(lp_t, axis=1),
+            jnp.argmax(lp_that, axis=1),
+            lp_s, lp_t, lp_that,
+        )
 
     y_np = np.asarray(g.y)
     masks_np = {
@@ -219,29 +221,36 @@ def train_ktgnn(
     }
 
     def evaluate(params, batch_stats):
-        pred_s, pred_t, pred_that = (
+        pred_s, pred_t, pred_that, lp_s, lp_t, lp_that = (
             np.asarray(a) for a in eval_step(params, batch_stats)
         )
+
+        def probs_pos(lp, mask):
+            # positive-class probability for auc (reference
+            # main_graph_knowledge_transfer.py:88,102 uses column 1)
+            return np.exp(lp[mask, 1]) if lp.shape[1] > 1 else None
+
         scores = {}
         for split, mask in masks_np.items():
             # source head for train, distilled target-hat head for val/test
-            pred = pred_s if split == "train" else pred_that
-            scores[split] = eval_metric(
-                y_np[mask], pred[mask], cfg.metric, cfg.f1_average
+            pred, lp = (
+                (pred_s, lp_s) if split == "train" else (pred_that, lp_that)
             )
+            scores[split] = eval_metric(
+                y_np[mask], pred[mask], cfg.metric, cfg.f1_average,
+                probs_pos=probs_pos(lp, mask),
+            )
+        tmask = masks_np["test"]
         per_head = {
-            "source": eval_metric(
-                y_np[masks_np["test"]], pred_s[masks_np["test"]],
-                cfg.metric, cfg.f1_average,
-            ),
-            "target": eval_metric(
-                y_np[masks_np["test"]], pred_t[masks_np["test"]],
-                cfg.metric, cfg.f1_average,
-            ),
-            "target_hat": eval_metric(
-                y_np[masks_np["test"]], pred_that[masks_np["test"]],
-                cfg.metric, cfg.f1_average,
-            ),
+            name: eval_metric(
+                y_np[tmask], pred[tmask], cfg.metric, cfg.f1_average,
+                probs_pos=probs_pos(lp, tmask),
+            )
+            for name, pred, lp in (
+                ("source", pred_s, lp_s),
+                ("target", pred_t, lp_t),
+                ("target_hat", pred_that, lp_that),
+            )
         }
         return scores, per_head
 
