@@ -180,6 +180,66 @@ class SimilarV2(nn.Module):
         return alpha[:, None], log_probs_clf
 
 
+class SimilarNoTrans(nn.Module):
+    """Raw-feature cosine similarity head (reference models.py:171-217):
+    no learned transform — cosine of the inputs, sigmoid'd — plus the
+    optional classifier head."""
+
+    in_channels: int
+    num_clf_classes: int
+    dropout: float = 0.6
+    use_clf: bool = True
+
+    def setup(self):
+        if self.use_clf:
+            self.lin_clf = glorot_dense(self.num_clf_classes)
+        self.clf_dropout = nn.Dropout(self.dropout)
+
+    def similarity(self, x, idx1, idx2, train: bool = False):
+        return nn.sigmoid(cosine_similarity(x[idx1], x[idx2]))
+
+    def similarity_cross_domain(self, x_src, x_tar, idx1, idx2,
+                                train: bool = False):
+        return nn.sigmoid(cosine_similarity(x_src[idx1], x_tar[idx2]))
+
+    def __call__(self, x, idx1, idx2, train: bool = False):
+        log_probs_clf = None
+        if self.use_clf:
+            h = self.clf_dropout(nn.relu(x), deterministic=not train)
+            log_probs_clf = nn.log_softmax(self.lin_clf(h), axis=-1)
+        return self.similarity(x, idx1, idx2, train)[:, None], log_probs_clf
+
+
+class SimNet(nn.Module):
+    """Generic pair-MLP similarity scorer (reference models.py:520-574):
+    Linear(2H→H) [+BN] + act ×(L−1) → Linear(H→1) → sigmoid."""
+
+    dim_hidden: int
+    num_layer: int = 2
+    use_bn: bool = False
+    dropout: float = 0.5
+    act_fn: str = "relu"
+
+    @nn.compact
+    def __call__(self, z, idx1, idx2, train: bool = False):
+        act = {
+            "relu": nn.relu,
+            "leakyrelu": lambda v: nn.leaky_relu(v, 0.2),
+            "tanh": jnp.tanh,
+            "sigmoid": nn.sigmoid,
+        }[self.act_fn]
+        x = jnp.concatenate([z[idx1], z[idx2]], axis=1)
+        for i in range(self.num_layer - 1):
+            x = glorot_dense(self.dim_hidden, name=f"layers_{i}")(x)
+            if self.use_bn:
+                x = MaskedBatchNorm(name=f"bns_{i}")(
+                    x, use_running_average=not train
+                )
+            x = act(x)
+        logits = glorot_dense(1, name=f"layers_{self.num_layer - 1}")(x)
+        return nn.sigmoid(logits)
+
+
 class SourceLearnerV2(nn.Module):
     """Backbone + similarity head over the source graph
     (reference models/models.py:999-1052)."""

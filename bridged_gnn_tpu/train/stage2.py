@@ -60,6 +60,7 @@ class Stage2Config:
     ckpt_dir: Optional[str] = None   # enable periodic checkpoints + resume
     ckpt_every: int = 50
     resume: bool = False
+    save_best_path: Optional[str] = None  # pickle best-model variables
 
 
 def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array):
@@ -256,6 +257,7 @@ def train_ktgnn(
 
     best = {"train": 0.0, "val": 0.0, "test": 0.0, "loss": 666.0,
             "epoch": -1}
+    best_variables = None
     history = []
     start_epoch = 1
     ckptr = None
@@ -310,6 +312,11 @@ def train_ktgnn(
                 test=scores["test"], loss=loss_t2, epoch=epoch,
                 per_head=per_head,
             )
+            if cfg.save_best_path:
+                best_variables = jax.tree.map(
+                    np.asarray,
+                    {"params": params, "batch_stats": batch_stats},
+                )
         if ckptr is not None and (
             epoch % cfg.ckpt_every == 0 or epoch == cfg.num_epoch
         ):
@@ -323,6 +330,12 @@ def train_ktgnn(
                 best=best,
                 epoch=epoch,
             ))
+
+    if cfg.save_best_path and best_variables is not None:
+        import pickle
+
+        with open(cfg.save_best_path, "wb") as f:
+            pickle.dump(best_variables, f)
 
     return dict(
         best=best,
