@@ -152,6 +152,29 @@ def test_cross_filters_individually():
     assert (1, 2) not in set(map(tuple, kept3.T))
 
 
+def test_propose_cross_edges_sharded_matches(model_and_vars, rng):
+    """mesh= path (sharded top-k) must reproduce the single-device sims."""
+    from bridged_gnn_tpu.parallel import make_mesh
+
+    model, variables = model_and_vars
+    src_d, tar_d = _synthetic_domains(rng)
+    g_src = graph_from_dict(src_d)
+    g_tar = graph_from_dict(tar_d)
+    k = 5
+    ei1, sims1, *_ = propose_cross_edges(
+        model, variables, g_src, None, g_tar, None, k,
+        row_block=16, sim_mode="mlp",
+    )
+    mesh = make_mesh(8)
+    ei2, sims2, *_ = propose_cross_edges(
+        model, variables, g_src, None, g_tar, None, k,
+        row_block=16, sim_mode="mlp", mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.sort(sims1, axis=1), np.sort(sims2, axis=1), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_gen_bridged_graph_end_to_end(model_and_vars, rng):
     model, variables = model_and_vars
     src_d, tar_d = _synthetic_domains(rng)
