@@ -42,6 +42,7 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--path_data", type=str, required=True)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=10)
+    ap.add_argument("--ckpt_dir", type=str, default="../ckpt")
     return ap
 
 
@@ -52,9 +53,19 @@ def load_bridged_graph(path: str):
 
 
 def main(args):
+    import os
+
     set_random_seed(0)
     data = load_bridged_graph(args.path_data)
     print("local homophily of test nodes:", eval_bridged_graph(data))
+
+    save_best_path = None
+    if args.save:
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        gnn = "GraphSAGE" if args.no_dtc else args.model_name
+        save_best_path = os.path.join(
+            args.ckpt_dir, f"model_{gnn}_{args.dataset_name}_best.pkl"
+        )
 
     # the no_dtc recipe runs GraphSAGE without scheduler
     # (reference main_graph_knowledge_transfer.py:414-421)
@@ -64,7 +75,7 @@ def main(args):
             hidden=args.hidden_dim, num_epoch=args.num_epoch,
             use_scheduler=False, metric=args.eval_metric,
             to_undirected=args.to_undirected, seed=args.seed,
-            log_every=args.log_every,
+            log_every=args.log_every, save_best_path=save_best_path,
         )
     else:
         cfg = Stage2Config(
@@ -72,6 +83,7 @@ def main(args):
             hidden=args.hidden_dim, num_epoch=args.num_epoch,
             metric=args.eval_metric, to_undirected=args.to_undirected,
             seed=args.seed, log_every=args.log_every,
+            save_best_path=save_best_path,
         )
     res = train_ktgnn(data, cfg)
     print("[stage-2 best]", {k: v for k, v in res["best"].items()
