@@ -91,6 +91,17 @@ def to_undirected_np(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+# Models whose reference counterparts see a self-loop-augmented edge set:
+# KTGNN's graph_partition adds them (KTGNN.py:390-394); PyG GCNConv/GCN2
+# normalize with self loops; the reference GAT/GATv2 wrappers add them
+# manually (backbones.py:336-341). GraphSAGE/MLP/GIN/DeeperGCN aggregate
+# the raw edge set.
+SELF_LOOP_MODELS = frozenset(
+    {"KTGNN", "KTGNN_noDTC", "GCN", "GAT", "GATv2", "JKNet", "APPNP",
+     "GCN2"}
+)
+
+
 def prepare_stage2_graph(
     data: Dict[str, np.ndarray], cfg: Stage2Config
 ) -> tuple[Graph, Adjacency]:
@@ -102,13 +113,20 @@ def prepare_stage2_graph(
     if cfg.to_undirected:
         data = to_undirected_np(data)
     g = graph_from_dict(data)
-    g = with_self_loops(g)
+    if cfg.model_name in SELF_LOOP_MODELS or cfg.model_name == "KTGNN_noDTC":
+        g = with_self_loops(g)
     adj = adjacency_from_graph(g, method=cfg.adjacency_method)
     return g, adj
 
 
 def build_model(cfg: Stage2Config, num_classes: int):
-    if cfg.no_dtc or cfg.model_name == "KTGNN_noDTC":
+    # reference --no_dtc recipe trains a plain single-head model
+    # (GraphSAGE in the run.sh configs); KTGNN_noDTC is the single-head
+    # KT-GNN selected when the model name says so
+    # (main_graph_knowledge_transfer.py:331-333,414-417)
+    if cfg.model_name == "KTGNN_noDTC" or (
+        cfg.no_dtc and cfg.model_name == "KTGNN"
+    ):
         return KTGNNNoDTC(
             num_classes=num_classes,
             layer_num=cfg.num_layer,
@@ -117,7 +135,7 @@ def build_model(cfg: Stage2Config, num_classes: int):
             dropout=cfg.dropout,
             use_bn=cfg.use_bn,
         )
-    if cfg.model_name == "KTGNN":
+    if cfg.model_name == "KTGNN" and not cfg.no_dtc:
         return KTGNN(
             num_classes=num_classes,
             layer_num=cfg.num_layer,
