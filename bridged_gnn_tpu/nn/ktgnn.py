@@ -196,6 +196,9 @@ class KTGNN(nn.Module):
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
+        # final node embeddings (reference get_emb, KTGNN.py:436-465),
+        # retrievable via apply(..., mutable=['intermediates'])
+        self.sow("intermediates", "node_embeddings", x)
         logits_base = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
             axis_name=self.axis_name, name="clf_base",

@@ -71,6 +71,15 @@ class KTGNNPredictor:
     def predict_labels(self, head: str = "target_hat") -> np.ndarray:
         return self.predict()[head].argmax(1)
 
+    def embeddings(self) -> np.ndarray:
+        """Final-layer node embeddings (reference get_emb equivalent)."""
+        _, inter = self.model.apply(
+            self.variables, self.graph, self.adj, False,
+            mutable=["intermediates"],
+        )
+        emb = inter["intermediates"]["node_embeddings"][0]
+        return np.asarray(emb)[: self.graph.num_nodes]
+
 
 class SimilarityScorer:
     """Online cross-domain similarity service over a fixed source corpus."""

@@ -48,6 +48,20 @@ def test_predictor_matches_training_eval(trained):
     assert acc > 0.4
 
 
+def test_predictor_embeddings(trained):
+    d, res, cfg = trained
+    from bridged_gnn_tpu.train.stage2 import build_model
+
+    model = build_model(cfg, int(d["y"].max()) + 1)
+    pred = KTGNNPredictor(
+        model, {"params": res["params"], "batch_stats": res["batch_stats"]},
+        dict(d), to_undirected=True,
+    )
+    emb = pred.embeddings()
+    assert emb.shape == (d["x"].shape[0], cfg.hidden)
+    assert np.isfinite(emb).all()
+
+
 def test_similarity_scorer(a2d_ckpt, rng):
     from bridged_gnn_tpu.io.ckpt_import import (
         merge_into_variables,
