@@ -49,6 +49,22 @@ def build_frontier_edges(
     return out
 
 
+def pad_frontiers(fronts: List[np.ndarray], num_nodes_padded: int,
+                  edge_pad: int = 128):
+    """Pad frontier edge sets into static-shape (senders, receivers, mask)
+    triples (jnp arrays)."""
+    out = []
+    for ei in fronts:
+        e = ei.shape[1]
+        e_pad = max(((e + edge_pad - 1) // edge_pad) * edge_pad, edge_pad)
+        s = np.full(e_pad, num_nodes_padded - 1, dtype=np.int32)
+        r = np.full(e_pad, num_nodes_padded - 1, dtype=np.int32)
+        m = np.zeros(e_pad, dtype=bool)
+        s[:e], r[:e], m[:e] = ei[0], ei[1], True
+        out.append((jnp.asarray(s), jnp.asarray(r), jnp.asarray(m)))
+    return out
+
+
 class AdaptedCompleteLayer(nn.Module):
     """One propagation step (reference Adapted_complete_layer,
     KTGNN.py:22-136): GAT-simplified attention over observed features,

@@ -61,6 +61,12 @@ class Stage2Config:
     ckpt_every: int = 50
     resume: bool = False
     save_best_path: Optional[str] = None  # pickle best-model variables
+    # feature-complementor options (reference KTGNN need_complement path;
+    # disabled in all run.sh configs)
+    need_complement: bool = False
+    dim_share: int = 0
+    complement_step: int = 1
+    use_dist_loss: bool = False
 
 
 def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array):
@@ -143,6 +149,10 @@ def build_model(cfg: Stage2Config, num_classes: int):
             root_weight=cfg.root_weight,
             dropout=cfg.dropout,
             use_bn=cfg.use_bn,
+            need_complement=cfg.need_complement,
+            dim_share=cfg.dim_share,
+            step=cfg.complement_step,
+            use_dist_loss=cfg.use_dist_loss,
         )
     from bridged_gnn_tpu.nn import backbones
 
@@ -159,10 +169,28 @@ def train_ktgnn(
     num_classes = int(np.asarray(g.y).max()) + 1
     model = build_model(cfg, num_classes)
 
+    frontiers = None
+    if cfg.need_complement:
+        from bridged_gnn_tpu.nn.complementor import (
+            build_frontier_edges,
+            pad_frontiers,
+        )
+
+        fr = build_frontier_edges(
+            g.edge_index_np(),
+            np.asarray(g.central_mask)[: g.num_nodes],
+            step=cfg.complement_step,
+        )
+        frontiers = pad_frontiers(fr, g.num_nodes_padded)
+
     rng = jax.random.PRNGKey(cfg.seed)
     rng, init_rng, drop_rng = jax.random.split(rng, 3)
+    init_kwargs = (
+        dict(frontiers=frontiers) if frontiers is not None else {}
+    )
     variables = model.init(
-        {"params": init_rng, "dropout": drop_rng}, g, adj, False
+        {"params": init_rng, "dropout": drop_rng}, g, adj, False,
+        **init_kwargs,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -178,15 +206,20 @@ def train_ktgnn(
     is_ktgnn = not cfg.no_dtc and cfg.model_name == "KTGNN"
     tar_train = g.train_mask & (~g.central_mask)
 
+    def apply_model(variables, train, **kw):
+        if is_ktgnn and frontiers is not None:
+            return model.apply(variables, g, adj, train,
+                               frontiers=frontiers, **kw)
+        return model.apply(variables, g, adj, train, **kw)
+
     def loss_fn(params, batch_stats, dropout_rng):
-        outs, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            g, adj, True,
+        outs, mutated = apply_model(
+            {"params": params, "batch_stats": batch_stats}, True,
             rngs={"dropout": dropout_rng},
             mutable=["batch_stats"],
         )
         if is_ktgnn:
-            lp_s, lp_t, lp_that, _ = outs
+            lp_s, lp_t, lp_that, loss_dist = outs
             loss_s = masked_nll(lp_s, g.y, g.train_mask)
             loss_t1 = masked_nll(lp_t, g.y, tar_train)
             loss_t2 = masked_nll(lp_that, g.y, tar_train)
@@ -195,6 +228,10 @@ def train_ktgnn(
                 (2.0 * loss_s + loss_t1 + loss_t2) / 4.0
                 + cfg.Lambda * loss_kl
             )
+            if loss_dist is not None:
+                # complementor distribution loss added on top
+                # (reference main_graph_knowledge_transfer.py:60-63)
+                loss = loss + loss_dist
             aux = dict(
                 loss_t2=loss_t2, loss_t1=loss_t1, loss_kl=loss_kl,
                 loss_s=loss_s,
@@ -216,8 +253,8 @@ def train_ktgnn(
 
     @jax.jit
     def eval_step(params, batch_stats):
-        outs = model.apply(
-            {"params": params, "batch_stats": batch_stats}, g, adj, False
+        outs = apply_model(
+            {"params": params, "batch_stats": batch_stats}, False
         )
         if is_ktgnn:
             lp_s, lp_t, lp_that, _ = outs
