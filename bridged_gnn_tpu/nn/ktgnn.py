@@ -155,6 +155,9 @@ class KTGNN(nn.Module):
     dropout: float = 0.5
     use_bn: bool = True
     axis_name: Optional[str] = None
+    # rematerialize conv activations in backward (jax.checkpoint) — trades
+    # FLOPs for memory on deep stacks / large graphs
+    remat: bool = False
     # feature-complementor options (reference KTGNN.py:340-341; all run.sh
     # configs use need_complement=False)
     need_complement: bool = False
@@ -183,9 +186,10 @@ class KTGNN(nn.Module):
             )(g.x, frontiers, cm, nm, train)
         else:
             x = g.x
+        conv_cls = nn.remat(AdaptedConv) if self.remat else AdaptedConv
         n_convs = max(self.layer_num - 1, 1)
         for i in range(n_convs):
-            x = AdaptedConv(
+            x = conv_cls(
                 self.hidden, root_weight=self.root_weight,
                 axis_name=self.axis_name, name=f"convs_{i}",
             )(x, adj, cm, nm)
