@@ -66,6 +66,9 @@ class Stage1Config:
     ckpt_dir: Optional[str] = None   # periodic checkpoints + resume
     ckpt_every: int = 100
     resume: bool = False
+    # >0: run up to this many epochs per device dispatch (lax.scan over
+    # pre-sampled pair-index stacks); segments land on eval boundaries
+    scan_epochs: int = 0
 
 
 def bce(probs, targets):
@@ -214,7 +217,45 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return sim_step, d_step, tx_st, tx_d
+    # --- scan mode: K epochs per dispatch over pre-sampled index stacks ---
+
+    def _epoch(carry, inp):
+        params, bs, opt_st, opt_d, rng = carry
+        idxs, y_pairs = inp
+        rng, drop = jax.random.split(rng)
+        (loss_sim, (aux, bs)), grads = jax.value_and_grad(
+            sim_loss, has_aux=True
+        )(params, bs, drop, idxs, y_pairs)
+        updates, opt_st = tx_st.update(grads, opt_st, params)
+        params = optax.apply_updates(params, updates)
+        loss_d, dgrads = jax.value_and_grad(d_loss)(
+            params, bs, aux["h_src"], aux["h_tar"]
+        )
+        dupd, opt_d = tx_d.update(dgrads, opt_d, params)
+        params = optax.apply_updates(params, dupd)
+        ys = (
+            loss_sim, loss_d, aux["loss_ae"],
+            (aux["probs_src"] > 0.5),
+            (aux["probs_tar"] > 0.5),
+            (aux["probs_cross"] > 0.5),
+        )
+        return (params, bs, opt_st, opt_d, rng), ys
+
+    _scan_cache = {}
+
+    def scan_epochs(params, bs, opt_st, opt_d, rng, stacked_idxs,
+                    stacked_y_pairs):
+        k = next(iter(stacked_idxs.values())).shape[0]
+        if k not in _scan_cache:
+            _scan_cache[k] = jax.jit(
+                lambda c, xs: jax.lax.scan(_epoch, c, xs)
+            )
+        return _scan_cache[k](
+            (params, bs, opt_st, opt_d, rng),
+            (stacked_idxs, stacked_y_pairs),
+        )
+
+    return sim_step, d_step, tx_st, tx_d, scan_epochs
 
 
 def _pair_scores_in_chunks(score_fn, idx1, idx2, chunk: int = 131072):
@@ -424,7 +465,7 @@ def train_adversarial(
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
-        sim_step, d_step, tx_st, tx_d = make_train_steps(
+        sim_step, d_step, tx_st, tx_d, scan_fn = make_train_steps(
             model, g_src, adj_src, g_tar, adj_tar, cfg.use_clf
         )
         opt_st = tx_st.init(params)
@@ -470,49 +511,34 @@ def train_adversarial(
                                 raw["host_rng_state"], dtype=np.uint8
                             ).tobytes()
                         )
-        for epoch in range(start_epoch, cfg.num_epoch + 1):
-            t0 = time.time()
+        def sample_epoch():
             i1s, i2s = enu_src.sampling(cfg.max_class_num, cfg.sample_size)
             i1t, i2t = enu_tar.sampling(cfg.max_class_num, cfg.sample_size)
             i1c, i2c = enu_cross.sampling(cfg.max_class_num, cfg.sample_size)
             idxs = dict(
-                src1=jnp.asarray(i1s, jnp.int32),
-                src2=jnp.asarray(i2s, jnp.int32),
-                tar1=jnp.asarray(i1t, jnp.int32),
-                tar2=jnp.asarray(i2t, jnp.int32),
-                cross1=jnp.asarray(i1c, jnp.int32),
-                cross2=jnp.asarray(i2c, jnp.int32),
+                src1=i1s.astype(np.int32), src2=i2s.astype(np.int32),
+                tar1=i1t.astype(np.int32), tar2=i2t.astype(np.int32),
+                cross1=i1c.astype(np.int32), cross2=i2c.astype(np.int32),
             )
             y_pairs = dict(
-                src=jnp.asarray((y_src_np[i1s] == y_src_np[i2s]).astype(
-                    np.float32)),
-                tar=jnp.asarray((y_tar_np[i1t] == y_tar_np[i2t]).astype(
-                    np.float32)),
-                cross=jnp.asarray((y_src_np[i1c] == y_tar_np[i2c]).astype(
-                    np.float32)),
+                src=(y_src_np[i1s] == y_src_np[i2s]).astype(np.float32),
+                tar=(y_tar_np[i1t] == y_tar_np[i2t]).astype(np.float32),
+                cross=(y_src_np[i1c] == y_tar_np[i2c]).astype(np.float32),
             )
-            key, drop_key = jax.random.split(key)
-            params, batch_stats, opt_st, loss_sim, aux = sim_step(
-                params, batch_stats, opt_st, drop_key, idxs, y_pairs
-            )
-            params, opt_d, loss_d = d_step(
-                params, batch_stats, opt_d, aux["h_src"], aux["h_tar"]
-            )
+            return idxs, y_pairs
 
-            train_scores = tuple(
+        def train_f1s(y_pairs, preds):
+            return tuple(
                 eval_metric(
                     np.asarray(y_pairs[k]).astype(int),
-                    (np.asarray(aux[f"probs_{k}"]) > 0.5).astype(int),
+                    np.asarray(preds[k]).astype(int),
                     cfg.metric, "binary",
                 )
                 for k in ("src", "tar", "cross")
             )
-            if cfg.verbose:
-                print(
-                    f"[rep {rep}] epoch {epoch:03d} loss {float(loss_sim):.4f}"
-                    f" d {float(loss_d):.4f} ae {float(aux['loss_ae']):.4f}"
-                    f" pair {train_scores} {time.time() - t0:.2f}s"
-                )
+
+        def maybe_eval(epoch, train_scores, loss_sim):
+            nonlocal best_vars
             if (
                 epoch >= cfg.start_eval_epoch
                 and epoch % cfg.eval_per_epoch == 0
@@ -528,6 +554,96 @@ def train_adversarial(
                         loss=float(loss_sim),
                     )
                     best_vars = jax.tree.map(np.asarray, cur_vars)
+
+        if cfg.scan_epochs > 0:
+            # scan mode: pre-sample a segment of epochs host-side, run the
+            # whole segment in one device dispatch
+            epoch = start_epoch
+            while epoch <= cfg.num_epoch:
+                seg_end = min(epoch + cfg.scan_epochs - 1, cfg.num_epoch)
+                if seg_end >= cfg.start_eval_epoch:
+                    # land segment boundaries on eval epochs
+                    nxt = (
+                        ((epoch - 1) // cfg.eval_per_epoch + 1)
+                        * cfg.eval_per_epoch
+                    )
+                    nxt = max(nxt, cfg.start_eval_epoch - 1)
+                    seg_end = min(seg_end, max(nxt, epoch))
+                k = seg_end - epoch + 1
+                samples = [sample_epoch() for _ in range(k)]
+                stacked_idxs = {
+                    key_: jnp.asarray(np.stack([s[0][key_] for s in samples]))
+                    for key_ in samples[0][0]
+                }
+                stacked_y = {
+                    key_: jnp.asarray(np.stack([s[1][key_] for s in samples]))
+                    for key_ in samples[0][1]
+                }
+                key, seg_key = jax.random.split(key)
+                (params, batch_stats, opt_st, opt_d, _), ys = scan_fn(
+                    params, batch_stats, opt_st, opt_d, seg_key,
+                    stacked_idxs, stacked_y,
+                )
+                losses, d_losses, ae_losses, p_s, p_t, p_c = ys
+                losses = np.asarray(losses)
+                preds_last = dict(
+                    src=np.asarray(p_s[-1]), tar=np.asarray(p_t[-1]),
+                    cross=np.asarray(p_c[-1]),
+                )
+                train_scores = train_f1s(
+                    {k2: stacked_y[k2][-1] for k2 in stacked_y}, preds_last
+                )
+                if cfg.verbose:
+                    print(
+                        f"[rep {rep}] epochs {epoch}-{seg_end} "
+                        f"loss {float(losses[-1]):.4f} pair {train_scores}"
+                    )
+                maybe_eval(seg_end, train_scores, float(losses[-1]))
+                epoch = seg_end + 1
+                if ckptr is not None:
+                    from flax import serialization
+
+                    ckptr.save(seg_end, dict(
+                        state=serialization.to_state_dict(dict(
+                            params=params, batch_stats=batch_stats,
+                            opt_st=opt_st, opt_d=opt_d, key=key,
+                        )),
+                        epoch=seg_end,
+                        host_rng_state=np.frombuffer(
+                            pickle.dumps(host_rng.bit_generator.state),
+                            dtype=np.uint8,
+                        ).copy(),
+                    ))
+            # skip the per-epoch loop below
+            epochs_iter = []
+        else:
+            epochs_iter = range(start_epoch, cfg.num_epoch + 1)
+
+        for epoch in epochs_iter:
+            t0 = time.time()
+            idxs_np, y_pairs_np = sample_epoch()
+            idxs = {k2: jnp.asarray(v) for k2, v in idxs_np.items()}
+            y_pairs = {k2: jnp.asarray(v) for k2, v in y_pairs_np.items()}
+            key, drop_key = jax.random.split(key)
+            params, batch_stats, opt_st, loss_sim, aux = sim_step(
+                params, batch_stats, opt_st, drop_key, idxs, y_pairs
+            )
+            params, opt_d, loss_d = d_step(
+                params, batch_stats, opt_d, aux["h_src"], aux["h_tar"]
+            )
+
+            train_scores = train_f1s(
+                y_pairs_np,
+                {k2: np.asarray(aux[f"probs_{k2}"]) > 0.5
+                 for k2 in ("src", "tar", "cross")},
+            )
+            if cfg.verbose:
+                print(
+                    f"[rep {rep}] epoch {epoch:03d} loss {float(loss_sim):.4f}"
+                    f" d {float(loss_d):.4f} ae {float(aux['loss_ae']):.4f}"
+                    f" pair {train_scores} {time.time() - t0:.2f}s"
+                )
+            maybe_eval(epoch, train_scores, float(loss_sim))
             if ckptr is not None and (
                 epoch % cfg.ckpt_every == 0 or epoch == cfg.num_epoch
             ):
