@@ -15,9 +15,7 @@ Example (office A→D recipe, run.sh:11-13):
 from __future__ import annotations
 
 import argparse
-import copy
 import os
-import pickle
 
 import numpy as np
 
@@ -26,11 +24,7 @@ from bridged_gnn_tpu.data import prepare_datasets
 from bridged_gnn_tpu.graph import graph_from_dict
 from bridged_gnn_tpu.io.serialize import save_graph_npz
 from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
-from bridged_gnn_tpu.train.stage1 import (
-    Stage1Config,
-    build_model,
-    train_adversarial,
-)
+from bridged_gnn_tpu.train.stage1 import Stage1Config, train_adversarial
 from bridged_gnn_tpu.utils import (
     eval_bridged_graph,
     eval_homophily,
