@@ -96,3 +96,7 @@ def main(args):
 
 if __name__ == "__main__":
     main(build_argparser().parse_args())
+
+
+def cli_entry():
+    main(build_argparser().parse_args())
