@@ -72,6 +72,10 @@ class Stage2Config:
     # Requires metric in {'f1','acc'}; checkpointing lands on chunk
     # boundaries.
     scan_epochs: int = 0
+    # matmul precision for this run: None = framework default (highest,
+    # reference-parity fp32); 'bfloat16' trades ~5e-3 activation drift for
+    # MXU-native throughput (production knob)
+    matmul_precision: Optional[str] = None
 
 
 def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array):
@@ -170,6 +174,13 @@ def train_ktgnn(
 ) -> Dict[str, Any]:
     """Full stage-2 run. Returns best scores + timing diagnostics."""
     cfg = cfg or Stage2Config()
+    if cfg.matmul_precision is not None:
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _train_ktgnn_impl(data, cfg)
+    return _train_ktgnn_impl(data, cfg)
+
+
+def _train_ktgnn_impl(data, cfg):
     g, adj = prepare_stage2_graph(data, cfg)
     num_classes = int(np.asarray(g.y).max()) + 1
     model = build_model(cfg, num_classes)
