@@ -111,6 +111,12 @@ class AdaptedConv(nn.Module):
                 + jnp.dot(mat[1], u_s2t, preferred_element_type=jnp.float32,
                           precision=prec)
             ).astype(x.dtype)
+        elif adj.fast_fn is not None and self.axis_name is None:
+            # scatter-free custom-VJP path: the joint softmax'd attention
+            # splits into two weighted SpMMs by destination domain
+            w1 = jnp.where(em & dst_central, alpha, 0.0).astype(x.dtype)
+            w2 = jnp.where(em & ~dst_central, alpha, 0.0).astype(x.dtype)
+            out = adj.fast_fn(u_t2s, w1) + adj.fast_fn(u_s2t, w2)
         else:
             msg = jnp.where(dst_central[:, None], u_t2s[s], u_s2t[s])
             out = segment_sum(

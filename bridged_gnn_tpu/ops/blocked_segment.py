@@ -105,3 +105,71 @@ def spmm_blocked(
         msg, receivers, jnp.asarray(meta.block_start), num_nodes_padded,
         meta.node_block, meta.max_edges, meta.num_blocks,
     ).astype(x.dtype)
+
+
+def make_spmm_fast(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes_padded: int,
+    node_block: int = 256,
+):
+    """Build a custom-VJP SpMM whose backward also runs as blocked one-hot
+    matmuls — no XLA scatters in either direction.
+
+    Forward (dst-sorted edges): out[v] = Σ w_e·x[src_e].
+    Backward:
+      dx[u]  = Σ_{e: src_e=u} w_e·dout[dst_e]  — a segment reduction over
+               the SAME edges sorted by sender (permutation precomputed);
+      dw_e   = x[src_e]·dout[dst_e]            — two gathers + a row dot.
+
+    XLA's scatter-add lowering (the autodiff VJP of gather) costs ~19 ms
+    per 2M×128 on v5e; the blocked reduction costs ~6 ms and the gathers
+    ~5 ms, so training steps lose their scatter tax.
+
+    Returns fn(x, edge_weights) -> out ([N_pad, D]); pass
+    ``edge_weights=None`` via a ones vector of length E_pad.
+    """
+    s = np.asarray(senders)
+    r = np.asarray(receivers)
+    em = np.asarray(edge_mask)
+    meta_dst = build_block_meta(r, num_nodes_padded, node_block)
+    perm = np.argsort(s, kind="stable")
+    s_sorted = s[perm]
+    meta_src = build_block_meta(s_sorted, num_nodes_padded, node_block)
+
+    senders_j = jnp.asarray(s.astype(np.int32))
+    receivers_j = jnp.asarray(r.astype(np.int32))
+    mask_j = jnp.asarray(em)
+    perm_j = jnp.asarray(perm.astype(np.int32))
+    s_sorted_j = jnp.asarray(s_sorted.astype(np.int32))
+    bs_dst = jnp.asarray(meta_dst.block_start)
+    bs_src = jnp.asarray(meta_src.block_start)
+
+    @jax.custom_vjp
+    def spmm_fast(x, w):
+        msg = x[senders_j] * w[:, None].astype(x.dtype)
+        msg = jnp.where(mask_j[:, None], msg, 0)
+        return segment_sum_blocked(
+            msg, receivers_j, bs_dst, num_nodes_padded,
+            meta_dst.node_block, meta_dst.max_edges, meta_dst.num_blocks,
+        ).astype(x.dtype)
+
+    def fwd(x, w):
+        return spmm_fast(x, w), (x, w)
+
+    def bwd(res, dout):
+        x, w = res
+        dout = dout.astype(x.dtype)
+        dmsg = dout[receivers_j]                      # [E, D] gather
+        dmsg = jnp.where(mask_j[:, None], dmsg, 0)
+        dw = jnp.sum(dmsg * x[senders_j], axis=-1).astype(w.dtype)
+        contrib = (dmsg * w[:, None].astype(x.dtype))[perm_j]
+        dx = segment_sum_blocked(
+            contrib, s_sorted_j, bs_src, num_nodes_padded,
+            meta_src.node_block, meta_src.max_edges, meta_src.num_blocks,
+        ).astype(x.dtype)
+        return dx, dw
+
+    spmm_fast.defvjp(fwd, bwd)
+    return spmm_fast

@@ -57,6 +57,9 @@ class Adjacency:
     block_max_edges: int = struct.field(pytree_node=False, default=0)
     block_node_block: int = struct.field(pytree_node=False, default=0)
     block_num_blocks: int = struct.field(pytree_node=False, default=0)
+    # custom-VJP blocked SpMM (scatter-free backward); static because it
+    # closes over host-precomputed metadata
+    fast_fn: Optional[object] = struct.field(pytree_node=False, default=None)
 
     @property
     def num_nodes_padded(self) -> int:
@@ -94,7 +97,10 @@ def build_adjacency(
             .add(w)
         )
     elif method == "blocked":
-        from bridged_gnn_tpu.ops.blocked_segment import build_block_meta
+        from bridged_gnn_tpu.ops.blocked_segment import (
+            build_block_meta,
+            make_spmm_fast,
+        )
 
         meta = build_block_meta(np.asarray(receivers), n_pad)
         # heavy degree skew makes the static per-block bound wasteful;
@@ -106,6 +112,10 @@ def build_adjacency(
                 block_max_edges=meta.max_edges,
                 block_node_block=meta.node_block,
                 block_num_blocks=meta.num_blocks,
+                fast_fn=make_spmm_fast(
+                    np.asarray(senders), np.asarray(receivers),
+                    np.asarray(edge_mask), n_pad,
+                ),
             )
     return Adjacency(
         senders=senders,
@@ -165,18 +175,26 @@ def spmm(
         if axis_name is not None:
             out = jax.lax.psum(out, axis_name)
     elif adj.use_blocked and axis_name is None:
-        from bridged_gnn_tpu.ops.blocked_segment import segment_sum_blocked
-
-        msg = x[adj.senders]
-        if edge_weights is not None:
-            msg = msg * edge_weights.reshape(
-                edge_weights.shape + (1,) * (msg.ndim - edge_weights.ndim)
-            ).astype(msg.dtype)
-        msg = jnp.where(adj.edge_mask[:, None], msg, 0)
-        out = segment_sum_blocked(
-            msg, adj.receivers, adj.block_start, n_pad,
-            adj.block_node_block, adj.block_max_edges, adj.block_num_blocks,
+        w = (
+            edge_weights.astype(x.dtype)
+            if edge_weights is not None
+            else jnp.ones(adj.senders.shape[0], dtype=x.dtype)
         )
+        if adj.fast_fn is not None:
+            out = adj.fast_fn(x, w)
+        else:
+            from bridged_gnn_tpu.ops.blocked_segment import (
+                segment_sum_blocked,
+            )
+
+            msg = jnp.where(
+                adj.edge_mask[:, None], x[adj.senders] * w[:, None], 0
+            )
+            out = segment_sum_blocked(
+                msg, adj.receivers, adj.block_start, n_pad,
+                adj.block_node_block, adj.block_max_edges,
+                adj.block_num_blocks,
+            )
     else:
         msg = x[adj.senders]
         if edge_weights is not None:
