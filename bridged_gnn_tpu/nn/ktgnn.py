@@ -75,13 +75,15 @@ class AdaptedConv(nn.Module):
         # --- GATv2 attention per edge, branch chosen by destination domain
         s, r, em = adj.senders, adj.receivers, adj.edge_mask
         dst_central = central_mask[r]
-        # gather both endpoint embeddings for the branch in use
-        e_t2s = nn.leaky_relu(
-            u_t2s[s] + u_t2s[r], negative_slope=self.negative_slope
-        )
-        e_s2t = nn.leaky_relu(
-            u_s2t[s] + u_s2t[r], negative_slope=self.negative_slope
-        )
+        if adj.fast_fn is not None and self.axis_name is None:
+            # scatter-free custom-VJP endpoint sums
+            sum_t2s = adj.fast_fn.pair_sum(u_t2s)
+            sum_s2t = adj.fast_fn.pair_sum(u_s2t)
+        else:
+            sum_t2s = u_t2s[s] + u_t2s[r]
+            sum_s2t = u_s2t[s] + u_s2t[r]
+        e_t2s = nn.leaky_relu(sum_t2s, negative_slope=self.negative_slope)
+        e_s2t = nn.leaky_relu(sum_s2t, negative_slope=self.negative_slope)
         logit_t2s = glorot_dense(1, use_bias=False, name="a_f_t2s")(e_t2s)
         logit_s2t = glorot_dense(1, use_bias=False, name="a_f_s2t")(e_s2t)
         logits = jnp.where(dst_central[:, None], logit_t2s, logit_s2t)[:, 0]
@@ -116,7 +118,7 @@ class AdaptedConv(nn.Module):
             # splits into two weighted SpMMs by destination domain
             w1 = jnp.where(em & dst_central, alpha, 0.0).astype(x.dtype)
             w2 = jnp.where(em & ~dst_central, alpha, 0.0).astype(x.dtype)
-            out = adj.fast_fn(u_t2s, w1) + adj.fast_fn(u_s2t, w2)
+            out = adj.fast_fn.spmm(u_t2s, w1) + adj.fast_fn.spmm(u_s2t, w2)
         else:
             msg = jnp.where(dst_central[:, None], u_t2s[s], u_s2t[s])
             out = segment_sum(

@@ -107,29 +107,28 @@ def spmm_blocked(
     ).astype(x.dtype)
 
 
-def make_spmm_fast(
+class BlockedOps(NamedTuple):
+    """Scatter-free edge ops bound to one (dst-sorted) edge array.
+
+    spmm(x [N,D], w [E]) -> [N,D]       weighted aggregation by destination
+    pair_sum(u [N,D])    -> [E,D]       u[senders]+u[receivers] (masked 0)
+
+    Both carry custom VJPs whose backward passes are blocked one-hot-matmul
+    segment reductions (sender- and destination-sorted) instead of XLA
+    scatters.
+    """
+
+    spmm: object
+    pair_sum: object
+
+
+def make_blocked_ops(
     senders: np.ndarray,
     receivers: np.ndarray,
     edge_mask: np.ndarray,
     num_nodes_padded: int,
     node_block: int = 256,
-):
-    """Build a custom-VJP SpMM whose backward also runs as blocked one-hot
-    matmuls — no XLA scatters in either direction.
-
-    Forward (dst-sorted edges): out[v] = Σ w_e·x[src_e].
-    Backward:
-      dx[u]  = Σ_{e: src_e=u} w_e·dout[dst_e]  — a segment reduction over
-               the SAME edges sorted by sender (permutation precomputed);
-      dw_e   = x[src_e]·dout[dst_e]            — two gathers + a row dot.
-
-    XLA's scatter-add lowering (the autodiff VJP of gather) costs ~19 ms
-    per 2M×128 on v5e; the blocked reduction costs ~6 ms and the gathers
-    ~5 ms, so training steps lose their scatter tax.
-
-    Returns fn(x, edge_weights) -> out ([N_pad, D]); pass
-    ``edge_weights=None`` via a ones vector of length E_pad.
-    """
+) -> BlockedOps:
     s = np.asarray(senders)
     r = np.asarray(receivers)
     em = np.asarray(edge_mask)
@@ -146,30 +145,62 @@ def make_spmm_fast(
     bs_dst = jnp.asarray(meta_dst.block_start)
     bs_src = jnp.asarray(meta_src.block_start)
 
+    def segsum_by_dst(vals):
+        return segment_sum_blocked(
+            vals, receivers_j, bs_dst, num_nodes_padded,
+            meta_dst.node_block, meta_dst.max_edges, meta_dst.num_blocks,
+        )
+
+    def segsum_by_src(vals):
+        return segment_sum_blocked(
+            vals[perm_j], s_sorted_j, bs_src, num_nodes_padded,
+            meta_src.node_block, meta_src.max_edges, meta_src.num_blocks,
+        )
+
     @jax.custom_vjp
     def spmm_fast(x, w):
         msg = x[senders_j] * w[:, None].astype(x.dtype)
         msg = jnp.where(mask_j[:, None], msg, 0)
-        return segment_sum_blocked(
-            msg, receivers_j, bs_dst, num_nodes_padded,
-            meta_dst.node_block, meta_dst.max_edges, meta_dst.num_blocks,
-        ).astype(x.dtype)
+        return segsum_by_dst(msg).astype(x.dtype)
 
-    def fwd(x, w):
+    def spmm_fwd(x, w):
         return spmm_fast(x, w), (x, w)
 
-    def bwd(res, dout):
+    def spmm_bwd(res, dout):
         x, w = res
         dout = dout.astype(x.dtype)
-        dmsg = dout[receivers_j]                      # [E, D] gather
-        dmsg = jnp.where(mask_j[:, None], dmsg, 0)
+        dmsg = jnp.where(mask_j[:, None], dout[receivers_j], 0)
         dw = jnp.sum(dmsg * x[senders_j], axis=-1).astype(w.dtype)
-        contrib = (dmsg * w[:, None].astype(x.dtype))[perm_j]
-        dx = segment_sum_blocked(
-            contrib, s_sorted_j, bs_src, num_nodes_padded,
-            meta_src.node_block, meta_src.max_edges, meta_src.num_blocks,
-        ).astype(x.dtype)
+        dx = segsum_by_src(dmsg * w[:, None].astype(x.dtype)).astype(x.dtype)
         return dx, dw
 
-    spmm_fast.defvjp(fwd, bwd)
-    return spmm_fast
+    spmm_fast.defvjp(spmm_fwd, spmm_bwd)
+
+    @jax.custom_vjp
+    def pair_sum(u):
+        e = u[senders_j] + u[receivers_j]
+        return jnp.where(mask_j[:, None], e, 0)
+
+    def ps_fwd(u):
+        return pair_sum(u), None
+
+    def ps_bwd(_, de):
+        de = jnp.where(mask_j[:, None], de, 0)
+        du = segsum_by_src(de) + segsum_by_dst(de)
+        return (du.astype(de.dtype),)
+
+    pair_sum.defvjp(ps_fwd, ps_bwd)
+    return BlockedOps(spmm=spmm_fast, pair_sum=pair_sum)
+
+
+def make_spmm_fast(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes_padded: int,
+    node_block: int = 256,
+):
+    """Back-compat wrapper: the custom-VJP SpMM from make_blocked_ops."""
+    return make_blocked_ops(
+        senders, receivers, edge_mask, num_nodes_padded, node_block
+    ).spmm

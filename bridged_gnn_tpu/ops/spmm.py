@@ -99,7 +99,7 @@ def build_adjacency(
     elif method == "blocked":
         from bridged_gnn_tpu.ops.blocked_segment import (
             build_block_meta,
-            make_spmm_fast,
+            make_blocked_ops,
         )
 
         meta = build_block_meta(np.asarray(receivers), n_pad)
@@ -112,7 +112,7 @@ def build_adjacency(
                 block_max_edges=meta.max_edges,
                 block_node_block=meta.node_block,
                 block_num_blocks=meta.num_blocks,
-                fast_fn=make_spmm_fast(
+                fast_fn=make_blocked_ops(
                     np.asarray(senders), np.asarray(receivers),
                     np.asarray(edge_mask), n_pad,
                 ),
@@ -181,7 +181,7 @@ def spmm(
             else jnp.ones(adj.senders.shape[0], dtype=x.dtype)
         )
         if adj.fast_fn is not None:
-            out = adj.fast_fn(x, w)
+            out = adj.fast_fn.spmm(x, w)
         else:
             from bridged_gnn_tpu.ops.blocked_segment import (
                 segment_sum_blocked,
