@@ -75,15 +75,16 @@ class AdaptedConv(nn.Module):
         # --- GATv2 attention per edge, branch chosen by destination domain
         s, r, em = adj.senders, adj.receivers, adj.edge_mask
         dst_central = central_mask[r]
-        if adj.fast_fn is not None and self.axis_name is None:
-            # scatter-free custom-VJP endpoint sums
-            sum_t2s = adj.fast_fn.pair_sum(u_t2s)
-            sum_s2t = adj.fast_fn.pair_sum(u_s2t)
-        else:
-            sum_t2s = u_t2s[s] + u_t2s[r]
-            sum_s2t = u_s2t[s] + u_s2t[r]
-        e_t2s = nn.leaky_relu(sum_t2s, negative_slope=self.negative_slope)
-        e_s2t = nn.leaky_relu(sum_s2t, negative_slope=self.negative_slope)
+        # NOTE: adj.fast_fn.pair_sum (scatter-free endpoint-sum VJP) exists
+        # and is grad-verified, but its backward program crashes this
+        # environment's remote TPU compiler (HTTP 500), so the attention
+        # gathers stay on autodiff here.
+        e_t2s = nn.leaky_relu(
+            u_t2s[s] + u_t2s[r], negative_slope=self.negative_slope
+        )
+        e_s2t = nn.leaky_relu(
+            u_s2t[s] + u_s2t[r], negative_slope=self.negative_slope
+        )
         logit_t2s = glorot_dense(1, use_bias=False, name="a_f_t2s")(e_t2s)
         logit_s2t = glorot_dense(1, use_bias=False, name="a_f_s2t")(e_s2t)
         logits = jnp.where(dst_central[:, None], logit_t2s, logit_s2t)[:, 0]
