@@ -69,6 +69,9 @@ class Stage1Config:
     # >0: run up to this many epochs per device dispatch (lax.scan over
     # pre-sampled pair-index stacks); segments land on eval boundaries
     scan_epochs: int = 0
+    # quantile filter restricting pair eval to high-confidence predictions
+    # (reference conf_lower_bound, scripts.py:350-358); None = all pairs
+    conf_lower_bound: Optional[float] = None
 
 
 def bce(probs, targets):
@@ -258,6 +261,18 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
     return sim_step, d_step, tx_st, tx_d, scan_epochs
 
 
+def _confidence_mask(probs: np.ndarray, conf_lower_bound) -> np.ndarray:
+    """Restrict evaluation to high-confidence pair predictions (reference
+    ``conf_lower_bound`` quantile filter, scripts.py:350-358): keep pairs
+    whose probability lies in the extreme quantiles."""
+    if conf_lower_bound is None:
+        return np.ones(len(probs), dtype=bool)
+    assert 0.0 <= conf_lower_bound <= 1.0
+    high = np.quantile(probs, conf_lower_bound)
+    low = np.quantile(probs, 1 - conf_lower_bound)
+    return (probs >= high) | (probs <= low)
+
+
 def _pair_scores_in_chunks(score_fn, idx1, idx2, chunk: int = 131072):
     """Evaluate a pair-scoring closure over host index arrays in padded
     fixed-size chunks (compiles once)."""
@@ -364,8 +379,11 @@ class Stage1Evaluator:
         probs = _pair_scores_in_chunks(
             lambda a, b: score_fn(variables, a, b), idx1, idx2
         )
-        return eval_metric(y_pair, (probs > 0.5).astype(int), cfg.metric,
-                           "binary", probs)
+        mask_conf = _confidence_mask(probs, self.cfg.conf_lower_bound)
+        return eval_metric(
+            y_pair[mask_conf], (probs[mask_conf] > 0.5).astype(int),
+            cfg.metric, "binary", probs[mask_conf],
+        )
 
     def _cross(self, variables, split):
         cfg = self.cfg
@@ -401,8 +419,11 @@ class Stage1Evaluator:
         probs = _pair_scores_in_chunks(
             lambda a, b: self.score_cross(variables, a, b), idx1, idx2
         )
-        return eval_metric(y_pair, (probs > 0.5).astype(int), cfg.metric,
-                           "binary", probs)
+        mask_conf = _confidence_mask(probs, self.cfg.conf_lower_bound)
+        return eval_metric(
+            y_pair[mask_conf], (probs[mask_conf] > 0.5).astype(int),
+            cfg.metric, "binary", probs[mask_conf],
+        )
 
     def __call__(self, variables, split: str):
         enu_src, enu_tar, _ = self.enus[split]
