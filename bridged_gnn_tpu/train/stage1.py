@@ -696,9 +696,21 @@ def train_adversarial(
     if ckpt_path:
         with open(ckpt_path, "wb") as f:
             pickle.dump(best_overall[1], f)
+    # per-repeat aggregation (reference scripts.py:545-555): mean/std/best
+    # of the (src, tar, cross) pair scores across repeats
+    summary = {}
+    for key in ("train", "val", "test"):
+        arr = np.asarray(final[key], dtype=np.float64)
+        if arr.size:
+            summary[key] = dict(
+                mean=arr.mean(axis=0).tolist(),
+                std=arr.std(axis=0).tolist(),
+                best=arr.max(axis=0).tolist(),
+            )
     return dict(
         best=best_overall[2],
         variables=best_overall[1],
         final=final,
+        summary=summary,
         model=model,
     )
