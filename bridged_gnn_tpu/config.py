@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Any, Dict, Optional
+from typing import Dict
 
 from bridged_gnn_tpu.train.stage1 import Stage1Config
 from bridged_gnn_tpu.train.stage2 import Stage2Config

@@ -17,7 +17,6 @@ and graph merge (reference ``main_bridged_graph.py:163-222``).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, Optional, Tuple
 
 import jax

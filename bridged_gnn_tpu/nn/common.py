@@ -13,7 +13,7 @@ the import shim (bridged_gnn_tpu/io/ckpt_import.py) transposes.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

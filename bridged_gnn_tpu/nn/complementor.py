@@ -18,7 +18,7 @@ capability surface, so it is complete and tested.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

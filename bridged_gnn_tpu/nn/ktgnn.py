@@ -32,7 +32,7 @@ from flax import linen as nn
 from bridged_gnn_tpu.graph import Graph
 from bridged_gnn_tpu.nn.common import MaskedBatchNorm, glorot_dense, masked_mean
 from bridged_gnn_tpu.ops.segment import segment_softmax, segment_sum
-from bridged_gnn_tpu.ops.spmm import Adjacency, spmm
+from bridged_gnn_tpu.ops.spmm import Adjacency
 
 
 class AdaptedConv(nn.Module):

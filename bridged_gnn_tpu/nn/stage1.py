@@ -20,7 +20,7 @@ checkpoint import shim is a mechanical rename+transpose.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,10 +10,9 @@ alternative when the partitioner's choices need overriding.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 

@@ -15,7 +15,7 @@ the host must bucket+pad edges per shard (done here once per graph).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

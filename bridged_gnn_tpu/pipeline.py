@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 from typing import Any, Dict, Optional
 
-import numpy as np
-
 from bridged_gnn_tpu.bridge import gen_bridged_graph
 from bridged_gnn_tpu.config import PipelineConfig
 from bridged_gnn_tpu.data import prepare_datasets

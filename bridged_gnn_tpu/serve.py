@@ -16,7 +16,7 @@ is new capability surfaced by the framework design.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
