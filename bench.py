@@ -28,7 +28,7 @@ D = 128
 WARMUP = 3
 ITERS = 20
 CPU_ITERS = 3
-DEVICE_TIMEOUT_S = int(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "600"))
+DEVICE_TIMEOUT_S = int(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "1500"))
 
 _CHILD_CODE = r"""
 import json, sys, time
