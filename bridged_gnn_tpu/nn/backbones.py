@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bridged_gnn_tpu.graph import Graph
-from bridged_gnn_tpu.nn.common import glorot_dense
+from bridged_gnn_tpu.nn.common import glorot_dense, torch_dense
 from bridged_gnn_tpu.nn.stage1 import SAGEConv
 from bridged_gnn_tpu.ops.segment import segment_softmax, segment_sum
 from bridged_gnn_tpu.ops.spmm import Adjacency, spmm
@@ -185,9 +185,9 @@ class MLPNet(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, adj: Adjacency = None, train: bool = False):
-        x = glorot_dense(self.hidden, name="input_layer")(g.x)
+        x = torch_dense(self.hidden, name="input_layer")(g.x)
         x = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(x))
-        x = glorot_dense(self.num_classes, name="out_layer")(x)
+        x = torch_dense(self.num_classes, name="out_layer")(x)
         return nn.log_softmax(x, axis=1)
 
 
@@ -211,7 +211,7 @@ class GINNet(nn.Module):
         for i, d in enumerate(dims):
             eps = self.param(f"eps_{i}", nn.initializers.zeros, ())
             agg = spmm(adj, x) + (1.0 + eps) * x
-            x = glorot_dense(d, name=f"nn_{i}")(agg)
+            x = torch_dense(d, name=f"nn_{i}")(agg)
             if i < len(dims) - 1:
                 x = nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -255,9 +255,9 @@ class APPNPNet(nn.Module):
     def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
         norm_w = gcn_norm_weights(adj)
         x = nn.Dropout(self.dropout, deterministic=not train)(g.x)
-        x = nn.relu(glorot_dense(self.hidden, name="lin1")(x))
+        x = nn.relu(torch_dense(self.hidden, name="lin1")(x))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = glorot_dense(self.num_classes, name="lin2")(x)
+        x = torch_dense(self.num_classes, name="lin2")(x)
         h0 = x
         for _ in range(self.K):
             x = (1 - self.alpha) * spmm(adj, x, edge_weights=norm_w) \

@@ -17,17 +17,26 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
-def masked_mean(x: jax.Array, mask: jax.Array, axis=0, keepdims=False):
-    """Mean over rows where mask is True."""
+def masked_mean(x: jax.Array, mask: jax.Array, axis=0, keepdims=False,
+                axis_name: Optional[str] = None):
+    """Mean over rows where mask is True.
+
+    With ``axis_name`` (inside shard_map over row-sharded node arrays) the
+    sums and counts are psum-combined so the mean is the *global* masked
+    mean — the collective carries [D]-sized partials, not node arrays."""
     m = mask.astype(x.dtype)
     shape = m.shape + (1,) * (x.ndim - m.ndim)
     m = m.reshape(shape)
     s = jnp.sum(x * m, axis=axis, keepdims=keepdims)
-    n = jnp.maximum(jnp.sum(m, axis=axis, keepdims=keepdims), 1.0)
-    return s / n
+    n = jnp.sum(m, axis=axis, keepdims=keepdims)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+        n = jax.lax.psum(n, axis_name)
+    return s / jnp.maximum(n, 1.0)
 
 
 def pair_norm(
@@ -71,6 +80,10 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = 0.1
     epsilon: float = 1e-5
+    # mesh axis over which node rows are sharded (halo/row partition):
+    # batch statistics psum [D]-sized partials so they match the global
+    # unsharded statistics exactly
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask=None, use_running_average: bool = False):
@@ -87,13 +100,15 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             if mask is None:
-                n = jnp.asarray(x.shape[0], x.dtype)
-                mean = jnp.mean(x, axis=0)
-                var = jnp.mean((x - mean) ** 2, axis=0)
-            else:
-                n = jnp.maximum(jnp.sum(mask.astype(x.dtype)), 1.0)
-                mean = masked_mean(x, mask, axis=0)
-                var = masked_mean((x - mean) ** 2, mask, axis=0)
+                mask = jnp.ones(x.shape[0], dtype=bool)
+            n = jnp.sum(mask.astype(x.dtype))
+            if self.axis_name is not None:
+                n = jax.lax.psum(n, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = masked_mean(x, mask, axis=0, axis_name=self.axis_name)
+            var = masked_mean(
+                (x - mean) ** 2, mask, axis=0, axis_name=self.axis_name
+            )
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (
@@ -108,8 +123,8 @@ class MaskedBatchNorm(nn.Module):
 
 
 def glorot_dense(features: int, use_bias: bool = True, name: str = None):
-    """Dense layer with glorot-uniform kernel (PyG Linear 'glorot' init) and
-    zero bias, matching the reference's dominant initializer."""
+    """Dense layer with glorot-uniform kernel (PyG Linear 'glorot' init,
+    used by GCN/GAT-family convs) and zero bias."""
     return nn.Dense(
         features,
         use_bias=use_bias,
@@ -117,6 +132,48 @@ def glorot_dense(features: int, use_bias: bool = True, name: str = None):
         bias_init=nn.initializers.zeros,
         name=name,
     )
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch/PyG *default* Linear initialization:
+    kernel ~ U(±1/√fan_in) (kaiming_uniform a=√5) and bias ~ U(±1/√fan_in).
+
+    This is what the reference's AdaptedConv / clf_transformer / SAGEConv
+    linears actually use (PyG dense Linear with weight_initializer=None —
+    torch_geometric/nn/dense/linear.py), NOT glorot; the init scale differs
+    by ~2× on these shapes and measurably changes where 300-epoch training
+    lands (see results_reference_baseline_torch.json).
+
+    Param layout matches nn.Dense ({kernel [in,out], bias [out]}) so
+    checkpoint import paths are unaffected.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        bound = 1.0 / np.sqrt(fan_in)
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param(
+            "kernel", kernel_init, (fan_in, self.features)
+        )
+        y = x @ kernel
+        if self.use_bias:
+            bias = self.param(
+                "bias", kernel_init, (self.features,)
+            )
+            y = y + bias
+        return y
+
+
+def torch_dense(features: int, use_bias: bool = True, name: str = None):
+    """Factory mirroring glorot_dense for the torch-default init family."""
+    return TorchLinear(features, use_bias=use_bias, name=name)
 
 
 class MLPBackbone(nn.Module):
@@ -141,7 +198,7 @@ class MLPBackbone(nn.Module):
             else [self.dim_hidden] * (self.layer_num - 1) + [self.dim_out]
         )
         for i, d in enumerate(dims):
-            x = glorot_dense(d, name=f"layers_{i}")(x)
+            x = torch_dense(d, name=f"layers_{i}")(x)
             if i < len(dims) - 1:
                 if self.use_norm:
                     x = pair_norm(
@@ -172,13 +229,13 @@ class Decoder(nn.Module):
         )
         for i in range(self.num_layer - 1):
             width = self.dim_hidden
-            x = glorot_dense(width, name=f"layers_{i}")(x)
+            x = torch_dense(width, name=f"layers_{i}")(x)
             if self.use_norm:
                 x = pair_norm(
                     x, mask, mode=self.norm_mode, scale=self.norm_scale
                 )
             x = nn.relu(x)
-        x = glorot_dense(self.dim_out, name=f"layers_{self.num_layer - 1}")(x)
+        x = torch_dense(self.dim_out, name=f"layers_{self.num_layer - 1}")(x)
         return x
 
 
@@ -199,7 +256,7 @@ class Discriminator(nn.Module):
             "sigmoid": nn.sigmoid,
         }[self.act_fn]
         for i in range(self.num_layer - 1):
-            x = glorot_dense(self.dim_hidden, name=f"layers_{i}")(x)
+            x = torch_dense(self.dim_hidden, name=f"layers_{i}")(x)
             x = act(x)
-        logits = glorot_dense(1, name=f"layers_{self.num_layer - 1}")(x)
+        logits = torch_dense(1, name=f"layers_{self.num_layer - 1}")(x)
         return nn.sigmoid(logits) if self.sigmoid_output else logits

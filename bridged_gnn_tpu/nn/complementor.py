@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from bridged_gnn_tpu.nn.common import glorot_dense, masked_mean
+from bridged_gnn_tpu.nn.common import torch_dense, masked_mean
 from bridged_gnn_tpu.ops.segment import segment_softmax, segment_sum
 
 
@@ -89,8 +89,8 @@ class AdaptedCompleteLayer(nn.Module):
         n_pad = x_o.shape[0]
         d_u = x_u.shape[1]
         # f: neighbor importance from observed features (KTGNN.py:95-101)
-        a_src = glorot_dense(1, use_bias=False, name="lin_f_src_0")(x_o)
-        a_tar = glorot_dense(1, use_bias=False, name="lin_f_tar_0")(x_o)
+        a_src = torch_dense(1, use_bias=False, name="lin_f_src_0")(x_o)
+        a_tar = torch_dense(1, use_bias=False, name="lin_f_tar_0")(x_o)
         logits = nn.leaky_relu(
             a_src[senders] + a_tar[receivers],
             negative_slope=self.negative_slope,
@@ -99,8 +99,8 @@ class AdaptedCompleteLayer(nn.Module):
         adapted_domain_diff = None
         if self.adapted:
             # g: domain difference function (KTGNN.py:76-93)
-            add = glorot_dense(d_u, name="lin_diff")(domain_diff[None, :])
-            support = glorot_dense(d_u, use_bias=False, name="lin_g")(
+            add = torch_dense(d_u, name="lin_diff")(domain_diff[None, :])
+            support = torch_dense(d_u, use_bias=False, name="lin_g")(
                 jnp.concatenate(
                     [x_u, jnp.broadcast_to(add, x_u.shape)], axis=-1
                 )
@@ -141,9 +141,9 @@ class AdaptedComplementor(nn.Module):
         node_mask: jax.Array,
         train: bool = False,
     ):
-        x_o = glorot_dense(self.hidden_o, use_bias=False,
+        x_o = torch_dense(self.hidden_o, use_bias=False,
                            name="input_layer_o")(x[:, : self.dim_o])
-        x_u = glorot_dense(self.hidden_u, use_bias=False,
+        x_u = torch_dense(self.hidden_u, use_bias=False,
                            name="input_layer_u")(x[:, self.dim_o:])
         if not self.use_complement:
             return jnp.concatenate([x_o, x_u], axis=1), None

@@ -31,7 +31,7 @@ from bridged_gnn_tpu.nn.common import (
     Discriminator,
     MaskedBatchNorm,
     MLPBackbone,
-    glorot_dense,
+    torch_dense,
     pair_norm,
 )
 from bridged_gnn_tpu.ops.spmm import Adjacency, spmm
@@ -57,9 +57,9 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, x, adj: Adjacency):
         agg = spmm(adj, x, reduce="mean")
-        out = glorot_dense(self.out_channels, name="lin_l")(agg)
+        out = torch_dense(self.out_channels, name="lin_l")(agg)
         if self.root_weight:
-            out = out + glorot_dense(
+            out = out + torch_dense(
                 self.out_channels, use_bias=False, name="lin_r"
             )(x)
         return out
@@ -109,20 +109,20 @@ class SimilarV2(nn.Module):
     def setup(self):
         if self.mode == "cosine":
             self.lin_self_0 = MaskedBatchNorm()
-            self.lin_self_1 = glorot_dense(64, use_bias=False)
+            self.lin_self_1 = torch_dense(64, use_bias=False)
             self.lin_self_2 = MaskedBatchNorm()
-            self.lin_self_4 = glorot_dense(128, use_bias=False)
-            self.biasatt_0 = glorot_dense(64)
-            self.biasatt_2 = glorot_dense(128)
+            self.lin_self_4 = torch_dense(128, use_bias=False)
+            self.biasatt_0 = torch_dense(64)
+            self.biasatt_2 = torch_dense(128)
         elif self.mode == "mlp":
             self.lin_self_0 = MaskedBatchNorm()
-            self.lin_self_1 = glorot_dense(128)
+            self.lin_self_1 = torch_dense(128)
             self.lin_self_2 = MaskedBatchNorm()
-            self.lin_self_4 = glorot_dense(1)
+            self.lin_self_4 = torch_dense(1)
         else:
             raise ValueError(f"unsupported mode: {self.mode}")
         if self.use_clf:
-            self.lin_clf = glorot_dense(self.num_clf_classes)
+            self.lin_clf = torch_dense(self.num_clf_classes)
         self.clf_dropout = nn.Dropout(self.dropout)
 
     def _embed_cosine(self, x, train: bool):
@@ -192,7 +192,7 @@ class SimilarNoTrans(nn.Module):
 
     def setup(self):
         if self.use_clf:
-            self.lin_clf = glorot_dense(self.num_clf_classes)
+            self.lin_clf = torch_dense(self.num_clf_classes)
         self.clf_dropout = nn.Dropout(self.dropout)
 
     def similarity(self, x, idx1, idx2, train: bool = False):
@@ -230,13 +230,13 @@ class SimNet(nn.Module):
         }[self.act_fn]
         x = jnp.concatenate([z[idx1], z[idx2]], axis=1)
         for i in range(self.num_layer - 1):
-            x = glorot_dense(self.dim_hidden, name=f"layers_{i}")(x)
+            x = torch_dense(self.dim_hidden, name=f"layers_{i}")(x)
             if self.use_bn:
                 x = MaskedBatchNorm(name=f"bns_{i}")(
                     x, use_running_average=not train
                 )
             x = act(x)
-        logits = glorot_dense(1, name=f"layers_{self.num_layer - 1}")(x)
+        logits = torch_dense(1, name=f"layers_{self.num_layer - 1}")(x)
         return nn.sigmoid(logits)
 
 
@@ -253,13 +253,14 @@ class SourceLearnerV2(nn.Module):
     sim_mode: str = "cosine"
     norm_mode: str = "None"
     norm_scale: float = 1.0
+    num_layer: int = 2
 
     def setup(self):
         if self.backbone == "mlp":
             self.backbone_net = MLPBackbone(
                 self.dim_hidden,
                 dim_hidden=self.dim_hidden,
-                layer_num=2,
+                layer_num=self.num_layer,
                 use_norm=self.use_norm,
                 norm_mode=self.norm_mode,
                 norm_scale=self.norm_scale,
@@ -268,7 +269,7 @@ class SourceLearnerV2(nn.Module):
             self.backbone_net = GraphEncoder(
                 self.dim_hidden,
                 dim_hidden=self.dim_hidden,
-                layer_num=2,
+                layer_num=self.num_layer,
                 norm_mode=self.norm_mode,
                 norm_scale=self.norm_scale,
             )
@@ -305,14 +306,15 @@ class TargetLearnerAEV2(nn.Module):
     backbone: str = "mlp"
     norm_mode: str = "None"
     norm_scale: float = 1.0
+    num_layer: int = 2
 
     def setup(self):
-        self.equavilent_trans_layer_0 = glorot_dense(self.dim_eq_trans)
+        self.equavilent_trans_layer_0 = torch_dense(self.dim_eq_trans)
         if self.backbone == "mlp":
             self.encoder = MLPBackbone(
                 self.dim_hidden,
                 dim_hidden=self.dim_hidden,
-                layer_num=2,
+                layer_num=self.num_layer,
                 use_norm=self.use_norm,
                 norm_mode=self.norm_mode,
                 norm_scale=self.norm_scale,
@@ -321,7 +323,7 @@ class TargetLearnerAEV2(nn.Module):
             self.encoder = GraphEncoder(
                 self.dim_hidden,
                 dim_hidden=self.dim_hidden,
-                layer_num=2,
+                layer_num=self.num_layer,
                 norm_mode=self.norm_mode,
                 norm_scale=self.norm_scale,
             )
@@ -371,6 +373,7 @@ class AdversarialLearnerV2(nn.Module):
     norm_scale: float = 1.0
     backbone: str = "mlp"
     sim_mode: str = "cosine"
+    num_layer: int = 2
 
     def setup(self):
         self.source_learner = SourceLearnerV2(
@@ -383,6 +386,7 @@ class AdversarialLearnerV2(nn.Module):
             sim_mode=self.sim_mode,
             norm_mode=self.norm_mode,
             norm_scale=self.norm_scale,
+            num_layer=self.num_layer,
         )
         self.target_learner = TargetLearnerAEV2(
             dim_in=self.dim_in_tar,
@@ -392,6 +396,7 @@ class AdversarialLearnerV2(nn.Module):
             backbone=self.backbone,
             norm_mode=self.norm_mode,
             norm_scale=self.norm_scale,
+            num_layer=self.num_layer,
         )
         self.discriminator = Discriminator(
             self.dim_hidden, num_layer=2, act_fn="relu", sigmoid_output=True

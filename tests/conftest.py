@@ -39,6 +39,13 @@ def a2d_dict():
 
 
 @pytest.fixture(scope="session")
+def a2w_dict():
+    from bridged_gnn_tpu.io import load_pyg_data_dict
+
+    return load_pyg_data_dict(A2W_GRAPH)
+
+
+@pytest.fixture(scope="session")
 def a2d_ckpt():
     from bridged_gnn_tpu.io import load_torch_state_dict
 
