@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bridged_gnn_tpu.graph import Graph
-from bridged_gnn_tpu.nn.common import MaskedBatchNorm, glorot_dense, masked_mean
+from bridged_gnn_tpu.nn.common import (
+    MaskedBatchNorm,
+    masked_mean,
+    torch_dense,
+)
 from bridged_gnn_tpu.ops.segment import segment_softmax, segment_sum
 from bridged_gnn_tpu.ops.spmm import Adjacency
 
@@ -47,11 +51,14 @@ class AdaptedConv(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,            # [N_pad, D]
+        x: jax.Array,            # [N_pad, D]  (halo mode: [R, D] local)
         adj: Adjacency,          # self-loop-augmented adjacency
-        central_mask: jax.Array,  # [N_pad] bool
-        node_mask: jax.Array,     # [N_pad] bool
+        central_mask: jax.Array,  # [N_pad] bool (halo mode: [R] local)
+        node_mask: jax.Array,     # [N_pad] bool (halo mode: [R] local)
+        halo=None,               # parallel.halopart.HaloView (row layout)
     ) -> jax.Array:
+        if halo is not None:
+            return self._halo_forward(x, central_mask, node_mask, halo)
         central = central_mask & node_mask
         target = (~central_mask) & node_mask
 
@@ -61,16 +68,16 @@ class AdaptedConv(nn.Module):
         domain_diff = mean_c - mean_t                              # [1, D]
         dd = jnp.broadcast_to(domain_diff, x.shape)
         gcat = jnp.concatenate([x, dd], axis=-1)
-        a_g_s2t = glorot_dense(1, use_bias=False, name="a_g_s2t")(gcat)
-        a_g_t2s = glorot_dense(1, use_bias=False, name="a_g_t2s")(gcat)
+        a_g_s2t = torch_dense(1, use_bias=False, name="a_g_s2t")(gcat)
+        a_g_t2s = torch_dense(1, use_bias=False, name="a_g_t2s")(gcat)
         shift_s2t = jnp.tanh(a_g_s2t) * dd
         shift_t2s = jnp.tanh(a_g_t2s) * dd
         x_s2t = x - shift_s2t * central[:, None].astype(x.dtype)
         x_t2s = x + shift_t2s * target[:, None].astype(x.dtype)
 
         # --- f: two linear paths (KTGNN.py:283-284)
-        u_s2t = glorot_dense(self.out_channels, name="lin_t")(x_s2t)
-        u_t2s = glorot_dense(self.out_channels, name="lin_s")(x_t2s)
+        u_s2t = torch_dense(self.out_channels, name="lin_t")(x_s2t)
+        u_t2s = torch_dense(self.out_channels, name="lin_s")(x_t2s)
 
         # --- GATv2 attention per edge, branch chosen by destination domain
         s, r, em = adj.senders, adj.receivers, adj.edge_mask
@@ -85,8 +92,8 @@ class AdaptedConv(nn.Module):
         e_s2t = nn.leaky_relu(
             u_s2t[s] + u_s2t[r], negative_slope=self.negative_slope
         )
-        logit_t2s = glorot_dense(1, use_bias=False, name="a_f_t2s")(e_t2s)
-        logit_s2t = glorot_dense(1, use_bias=False, name="a_f_s2t")(e_s2t)
+        logit_t2s = torch_dense(1, use_bias=False, name="a_f_t2s")(e_t2s)
+        logit_s2t = torch_dense(1, use_bias=False, name="a_f_s2t")(e_s2t)
         logits = jnp.where(dst_central[:, None], logit_t2s, logit_s2t)[:, 0]
         alpha = segment_softmax(
             logits, r, adj.num_nodes_padded, mask=em,
@@ -128,7 +135,70 @@ class AdaptedConv(nn.Module):
             )
 
         if self.root_weight:
-            out = out + glorot_dense(
+            out = out + torch_dense(
+                self.out_channels, use_bias=False, name="lin_r"
+            )(x)
+        return out
+
+    def _halo_forward(self, x, central_mask, node_mask, halo):
+        """Row-partitioned forward (SURVEY §2c-1): this device owns node
+        rows [0, R); per layer the only node-array collective is the
+        boundary-feature all_to_all inside ``halo.exchange`` — domain-mean
+        and BN statistics ride [D]-sized psums. All destination-keyed
+        segment ops are fully local because every edge into an owned row
+        is stored on this device.
+
+        Parameter structure is identical to the single-device path, so
+        trained params transfer 1:1 between layouts."""
+        R = halo.rows
+        central_l = central_mask & node_mask          # [R] local flags
+        target_l = (~central_mask) & node_mask
+
+        # boundary exchange: x_ext = [own rows ‖ halo rows]   [R+H, D]
+        x_ext = halo.exchange(x)
+        central_e = halo.central_ext & halo.node_mask_ext     # [R+H]
+        target_e = (~halo.central_ext) & halo.node_mask_ext
+
+        # global domain difference via [D]-sized psums (KTGNN.py:275-281)
+        mean_c = masked_mean(x, central_l, axis=0, keepdims=True,
+                             axis_name=halo.axis)
+        mean_t = masked_mean(x, target_l, axis=0, keepdims=True,
+                             axis_name=halo.axis)
+        dd = jnp.broadcast_to(mean_c - mean_t, x_ext.shape)
+        gcat = jnp.concatenate([x_ext, dd], axis=-1)
+        a_g_s2t = torch_dense(1, use_bias=False, name="a_g_s2t")(gcat)
+        a_g_t2s = torch_dense(1, use_bias=False, name="a_g_t2s")(gcat)
+        x_s2t = x_ext - jnp.tanh(a_g_s2t) * dd * (
+            central_e[:, None].astype(x.dtype)
+        )
+        x_t2s = x_ext + jnp.tanh(a_g_t2s) * dd * (
+            target_e[:, None].astype(x.dtype)
+        )
+        u_s2t = torch_dense(self.out_channels, name="lin_t")(x_s2t)
+        u_t2s = torch_dense(self.out_channels, name="lin_s")(x_t2s)
+
+        s, r, em = halo.senders_local, halo.receivers_local, halo.edge_mask
+        dst_central = central_mask[r]
+        e_t2s = nn.leaky_relu(
+            u_t2s[s] + u_t2s[r], negative_slope=self.negative_slope
+        )
+        e_s2t = nn.leaky_relu(
+            u_s2t[s] + u_s2t[r], negative_slope=self.negative_slope
+        )
+        logit_t2s = torch_dense(1, use_bias=False, name="a_f_t2s")(e_t2s)
+        logit_s2t = torch_dense(1, use_bias=False, name="a_f_s2t")(e_s2t)
+        logits = jnp.where(dst_central[:, None], logit_t2s, logit_s2t)[:, 0]
+        # destination-keyed ops are LOCAL: this device holds every edge
+        # into its rows, so softmax needs no collective
+        alpha = segment_softmax(
+            logits, r, R, mask=em, indices_are_sorted=True,
+        )
+        msg = jnp.where(dst_central[:, None], u_t2s[s], u_s2t[s])
+        out = segment_sum(
+            msg * alpha[:, None], r, R, mask=em, indices_are_sorted=True,
+        )
+        if self.root_weight:
+            out = out + torch_dense(
                 self.out_channels, use_bias=False, name="lin_r"
             )(x)
         return out
@@ -138,15 +208,16 @@ class ClfTransformer(nn.Module):
     """Linear → BN → ReLU → Linear head adapter (KTGNN.py:363-368)."""
 
     hidden: int
+    stats_axis: Optional[str] = None  # BN stats psum axis (row partition)
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        x = glorot_dense(self.hidden, name="lin_0")(x)
-        x = MaskedBatchNorm(name="bn_1")(
+        x = torch_dense(self.hidden, name="lin_0")(x)
+        x = MaskedBatchNorm(name="bn_1", axis_name=self.stats_axis)(
             x, mask, use_running_average=not train
         )
         x = nn.relu(x)
-        x = glorot_dense(self.hidden, name="lin_3")(x)
+        x = torch_dense(self.hidden, name="lin_3")(x)
         return x
 
 
@@ -179,9 +250,10 @@ class KTGNN(nn.Module):
     @nn.compact
     def __call__(
         self, g: Graph, adj: Adjacency, train: bool = False,
-        frontiers=None,
+        frontiers=None, halo=None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
         cm, nm = g.central_mask, g.node_mask
+        stats_axis = halo.axis if halo is not None else None
         loss_dist = None
         if self.need_complement:
             from bridged_gnn_tpu.nn.complementor import AdaptedComplementor
@@ -201,9 +273,9 @@ class KTGNN(nn.Module):
             x = conv_cls(
                 self.hidden, root_weight=self.root_weight,
                 axis_name=self.axis_name, name=f"convs_{i}",
-            )(x, adj, cm, nm)
+            )(x, adj, cm, nm, halo)
             if self.use_bn:
-                x = MaskedBatchNorm(name=f"bns_{i}")(
+                x = MaskedBatchNorm(name=f"bns_{i}", axis_name=stats_axis)(
                     x, nm, use_running_average=not train
                 )
             x = nn.relu(x)
@@ -215,16 +287,17 @@ class KTGNN(nn.Module):
         logits_base = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
             axis_name=self.axis_name, name="clf_base",
-        )(x, adj, cm, nm)
+        )(x, adj, cm, nm, halo)
         clf_target = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
             axis_name=self.axis_name, name="clf_target",
         )
-        x_trans = ClfTransformer(self.hidden, name="clf_transformer")(
+        x_trans = ClfTransformer(self.hidden, name="clf_transformer",
+                                 stats_axis=stats_axis)(
             x, nm, train
         )
-        logits_target_hat = clf_target(x_trans, adj, cm, nm)
-        logits_target = clf_target(x, adj, cm, nm)
+        logits_target_hat = clf_target(x_trans, adj, cm, nm, halo)
+        logits_target = clf_target(x, adj, cm, nm, halo)
         return (
             nn.log_softmax(logits_base, axis=1),
             nn.log_softmax(logits_target, axis=1),

@@ -9,3 +9,8 @@ from bridged_gnn_tpu.parallel.rowpart import (  # noqa: F401
     build_row_partition,
     rowpart_spmm,
 )
+from bridged_gnn_tpu.parallel.halopart import (  # noqa: F401
+    build_halo_partition,
+    make_halo_ktgnn_train_step,
+    wire_bytes_per_layer,
+)

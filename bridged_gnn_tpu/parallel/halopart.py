@@ -1,0 +1,308 @@
+"""Row-partitioned KT-GNN training with boundary (halo) feature exchange.
+
+This is SURVEY §2c-1 / §5.8 as written: the bridged graph's nodes are
+split into contiguous row blocks, one per device; destination-sorted edges
+make each device's incoming edge set a contiguous range, so every
+destination-keyed reduction (attention softmax, aggregation) is fully
+local. The only node-array collective per conv layer is an **all_to_all
+that carries exactly the boundary sender features each device needs**
+(host-precomputed per-pair index plans) — wire bytes scale with the edge
+cut, not with N·D·layers like the edge-shard layout's full psums
+(parallel/edgeshard.py). Global statistics (domain-difference means, BN,
+loss) ride [D]-sized psums.
+
+The flax model code is reused unmodified (nn/ktgnn.py `halo=` hook);
+parameters transfer 1:1 between the single-device, edge-shard, and
+row-partition layouts.
+
+Wire-byte accounting per layer of width D (fp32), n devices:
+  edge shard:  psum [N_pad, D] partials for softmax max + denom + aggregate
+               ≈ 3 · 2(n-1)/n · N_pad · D · 4 bytes          (per device)
+  halo (this): all_to_all ≈ (n-1)/n · H · D · 4 bytes + 3 psums of D
+               where H = Σ halo rows ≤ N_pad (graph-cut dependent)
+`wire_bytes_per_layer` computes both for a built partition.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from bridged_gnn_tpu.graph import Graph, round_up
+from bridged_gnn_tpu.train.optim import torch_adam
+
+
+class HaloPartition(NamedTuple):
+    """Host-built row partition + halo exchange plan (static per graph)."""
+
+    # per-shard edge arrays, flattened [n_dev * e_shard]
+    senders_local: np.ndarray    # int32, ids into x_ext = [own ‖ halo]
+    receivers_local: np.ndarray  # int32 in [0, rows)
+    edge_mask: np.ndarray        # bool
+    # halo send plan, flattened [n_dev(src) * n_dev(dst) * h_pair]
+    send_idx: np.ndarray         # int32 local row ids on the SENDING device
+    send_mask: np.ndarray        # bool
+    # per-shard extended masks, flattened [n_dev * (rows + n_dev*h_pair)]
+    central_ext: np.ndarray      # bool
+    node_mask_ext: np.ndarray    # bool
+    # per-shard node arrays are g node arrays padded to n_dev*rows
+    rows: int
+    e_shard: int
+    h_pair: int
+    num_shards: int
+    num_nodes_padded_total: int  # n_dev * rows
+    halo_rows_real: int          # Σ real halo entries (wire accounting)
+
+
+def build_halo_partition(g: Graph, n_shards: int) -> HaloPartition:
+    """Build the row partition + per-pair halo plans (host, once/graph)."""
+    n_pad = g.num_nodes_padded
+    rows = round_up(-(-n_pad // n_shards), 8)
+    n_total = rows * n_shards
+    s = np.asarray(g.senders).astype(np.int64)
+    r = np.asarray(g.receivers).astype(np.int64)
+    em = np.asarray(g.edge_mask)
+    central = np.zeros(n_total, dtype=bool)
+    central[:n_pad] = np.asarray(g.central_mask)
+    valid = np.zeros(n_total, dtype=bool)
+    valid[:n_pad] = np.asarray(g.node_mask)
+
+    shard_of = lambda node: node // rows  # noqa: E731
+
+    # bucket edges by destination shard
+    dst_shard = shard_of(r)
+    e_counts = np.bincount(dst_shard[em], minlength=n_shards)
+    e_shard = round_up(max(int(e_counts.max()), 1), 128)
+
+    # per (q, p): rows owned by p that q's edges reference (p != q)
+    halo_sets = [[None] * n_shards for _ in range(n_shards)]
+    h_pair = 8
+    for q in range(n_shards):
+        sel = em & (dst_shard == q)
+        sq = s[sel]
+        ext = sq[shard_of(sq) != q]
+        for p in range(n_shards):
+            rows_p = np.unique(ext[shard_of(ext) == p])
+            halo_sets[q][p] = rows_p
+            h_pair = max(h_pair, len(rows_p))
+    h_pair = round_up(h_pair, 8)
+
+    ext_len = rows + n_shards * h_pair
+    out_s = np.zeros((n_shards, e_shard), dtype=np.int32)
+    out_r = np.full((n_shards, e_shard), rows - 1, dtype=np.int32)
+    out_m = np.zeros((n_shards, e_shard), dtype=bool)
+    send_idx = np.zeros((n_shards, n_shards, h_pair), dtype=np.int32)
+    send_mask = np.zeros((n_shards, n_shards, h_pair), dtype=bool)
+    central_ext = np.zeros((n_shards, ext_len), dtype=bool)
+    nodemask_ext = np.zeros((n_shards, ext_len), dtype=bool)
+    halo_real = 0
+
+    for q in range(n_shards):
+        # local-id lookup for x_ext rows: own rows then halo slots
+        lut = np.full(n_total, -1, dtype=np.int64)
+        own = np.arange(q * rows, (q + 1) * rows)
+        lut[own] = np.arange(rows)
+        central_ext[q, :rows] = central[own]
+        nodemask_ext[q, :rows] = valid[own]
+        for p in range(n_shards):
+            hs = halo_sets[q][p]
+            base = rows + p * h_pair
+            lut[hs] = base + np.arange(len(hs))
+            central_ext[q, base:base + len(hs)] = central[hs]
+            nodemask_ext[q, base:base + len(hs)] = valid[hs]
+            # device p sends these rows (p-local ids) to device q
+            send_idx[p, q, : len(hs)] = (hs - p * rows).astype(np.int32)
+            send_mask[p, q, : len(hs)] = True
+            if p != q:
+                halo_real += len(hs)
+        sel = em & (dst_shard == q)
+        k = int(sel.sum())
+        out_s[q, :k] = lut[s[sel]].astype(np.int32)
+        out_r[q, :k] = (r[sel] - q * rows).astype(np.int32)
+        out_m[q, :k] = True
+        assert (out_s[q, :k] >= 0).all()
+
+    return HaloPartition(
+        senders_local=out_s.reshape(-1),
+        receivers_local=out_r.reshape(-1),
+        edge_mask=out_m.reshape(-1),
+        send_idx=send_idx.reshape(-1),
+        send_mask=send_mask.reshape(-1),
+        central_ext=central_ext.reshape(-1),
+        node_mask_ext=nodemask_ext.reshape(-1),
+        rows=rows,
+        e_shard=e_shard,
+        h_pair=h_pair,
+        num_shards=n_shards,
+        num_nodes_padded_total=n_total,
+        halo_rows_real=halo_real,
+    )
+
+
+def wire_bytes_per_layer(
+    part: HaloPartition, d: int, dtype_bytes: int = 4
+) -> dict:
+    """Per-device wire bytes for one AdaptedConv layer, halo vs edge-shard
+    (see module docstring for the formulas)."""
+    n = part.num_shards
+    n_pad = part.num_nodes_padded_total
+    halo = (part.halo_rows_real / max(n, 1)) * d * dtype_bytes \
+        + 3 * d * dtype_bytes * 2 * (n - 1) / max(n, 1)
+    edgeshard = 3 * (2 * (n - 1) / n) * n_pad * d * dtype_bytes
+    return dict(
+        halo_bytes=int(halo),
+        edgeshard_bytes=int(edgeshard),
+        ratio=float(edgeshard / max(halo, 1)),
+        halo_rows=part.halo_rows_real,
+    )
+
+
+class HaloView(NamedTuple):
+    """Device-local view passed into the model's ``halo=`` hook."""
+
+    senders_local: jax.Array
+    receivers_local: jax.Array
+    edge_mask: jax.Array
+    send_idx: jax.Array
+    send_mask: jax.Array
+    central_ext: jax.Array
+    node_mask_ext: jax.Array
+    rows: int
+    h_pair: int
+    num_shards: int
+    axis: str
+
+    def exchange(self, x_local: jax.Array) -> jax.Array:
+        """x_ext = [own rows ‖ halo rows]: gather the rows each peer needs,
+        one tiled all_to_all, concatenate. Linear → autodiff transposes it
+        to the reverse scatter-add exchange for gradients."""
+        send = jnp.where(
+            self.send_mask[:, None], x_local[self.send_idx], 0
+        )
+        recv = jax.lax.all_to_all(
+            send.reshape(self.num_shards * self.h_pair, -1),
+            self.axis, split_axis=0, concat_axis=0, tiled=True,
+        )
+        return jnp.concatenate([x_local, recv], axis=0)
+
+
+def _shard_node(a: np.ndarray, part: HaloPartition, fill=0):
+    """Pad a node-indexed array to n_dev*rows (concat-able into shards)."""
+    n_total = part.num_nodes_padded_total
+    pad = n_total - a.shape[0]
+    if pad == 0:
+        return a
+    fill_arr = np.full((pad,) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, fill_arr], axis=0)
+
+
+def make_halo_ktgnn_train_step(
+    mesh: Mesh,
+    model,
+    g: Graph,
+    cfg,
+    axis: str | None = None,
+) -> tuple[Callable, HaloPartition]:
+    """Jitted KT-GNN train step on the halo row partition.
+
+    Node arrays (features, labels, masks) and all activations live sharded
+    by row block; parameters and optimizer state are replicated and receive
+    identical (psum'd) gradients on every device. Returns
+    ``(train_step, partition)`` where
+    ``train_step(params, batch_stats, opt_state, rng) → (params, bs,
+    opt_state, loss)``.
+    """
+    from bridged_gnn_tpu.train.stage2 import kl_batchmean, masked_nll
+
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    part = build_halo_partition(g, n_dev)
+    tx = torch_adam(cfg.lr, weight_decay=cfg.weight_decay)
+
+    x_sh = _shard_node(np.asarray(g.x), part)
+    y_sh = _shard_node(np.asarray(g.y), part, fill=-1)
+    nm_sh = _shard_node(np.asarray(g.node_mask), part, fill=False)
+    cm_sh = _shard_node(np.asarray(g.central_mask), part, fill=False)
+    tm_sh = _shard_node(np.asarray(g.train_mask), part, fill=False)
+    tt_sh = tm_sh & ~cm_sh
+
+    def device_loss(params, batch_stats, dropout_rng,
+                    sl, rl, em, sidx, smask, ce, nme,
+                    x, y, nm, cm, tm, tt):
+        halo = HaloView(
+            senders_local=sl, receivers_local=rl, edge_mask=em,
+            send_idx=sidx, send_mask=smask, central_ext=ce,
+            node_mask_ext=nme, rows=part.rows, h_pair=part.h_pair,
+            num_shards=n_dev, axis=axis,
+        )
+        gl = g.replace(
+            x=x, y=y, node_mask=nm, central_mask=cm, train_mask=tm,
+        )
+        # per-shard-independent dropout streams
+        drop = jax.random.fold_in(dropout_rng, jax.lax.axis_index(axis))
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            gl, None, True, halo=halo,
+            rngs={"dropout": drop},
+            mutable=["batch_stats"],
+        )
+        lp_s, lp_t, lp_that, _ = outs
+        loss_s = masked_nll(lp_s, y, tm, axis_name=axis)
+        loss_t1 = masked_nll(lp_t, y, tt, axis_name=axis)
+        loss_t2 = masked_nll(lp_that, y, tt, axis_name=axis)
+        loss_kl = kl_batchmean(lp_that, lp_t, nm, axis_name=axis)
+        loss = (2.0 * loss_s + loss_t1 + loss_t2) / 4.0 \
+            + cfg.Lambda * loss_kl
+        return loss, mutated["batch_stats"]
+
+    def step(params, batch_stats, opt_state, dropout_rng,
+             sl, rl, em, sidx, smask, ce, nme, x, y, nm, cm, tm, tt):
+        (loss, new_bs), grads = jax.value_and_grad(
+            device_loss, has_aux=True
+        )(params, batch_stats, dropout_rng, sl, rl, em, sidx, smask,
+          ce, nme, x, y, nm, cm, tm, tt)
+        # loss/stats are already psum'd inside device_loss, so grads of the
+        # replicated params come out identical across shards — but each
+        # shard only saw its own rows' contributions via the local segment
+        # ops; those flowed through psums/all_to_alls whose transposes
+        # redistribute them, making grads replicated-exact.
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    rowp, rep = P(axis), P()
+    sharded = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(rep, rep, rep, rep,
+                  rowp, rowp, rowp, rowp, rowp, rowp, rowp,
+                  rowp, rowp, rowp, rowp, rowp, rowp),
+        out_specs=(rep, rep, rep, rep),
+        # check_vma stays ON (as in edgeshard): replicated-param gradients
+        # need shard_map's automatic psum-of-cotangents transpose
+    )
+
+    sl = jnp.asarray(part.senders_local)
+    rl = jnp.asarray(part.receivers_local)
+    em = jnp.asarray(part.edge_mask)
+    sidx = jnp.asarray(part.send_idx)
+    smask = jnp.asarray(part.send_mask)
+    ce = jnp.asarray(part.central_ext)
+    nme = jnp.asarray(part.node_mask_ext)
+    arrays = tuple(jnp.asarray(a) for a in
+                   (x_sh, y_sh, nm_sh, cm_sh, tm_sh, tt_sh))
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, dropout_rng):
+        return sharded(
+            params, batch_stats, opt_state, dropout_rng,
+            sl, rl, em, sidx, smask, ce, nme, *arrays,
+        )
+
+    return train_step, part

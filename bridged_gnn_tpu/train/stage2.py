@@ -33,6 +33,7 @@ from bridged_gnn_tpu.nn.ktgnn import KTGNN, KTGNNNoDTC
 from bridged_gnn_tpu.ops.spmm import Adjacency, adjacency_from_graph
 from bridged_gnn_tpu.train.metrics import eval_metric
 from bridged_gnn_tpu.train.optim import step_lr, torch_adam
+from bridged_gnn_tpu.utils.profiling import StepTimer
 
 
 @dataclasses.dataclass
@@ -78,20 +79,34 @@ class Stage2Config:
     matmul_precision: Optional[str] = None
 
 
-def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array):
-    """Mean of -log p(y) over masked nodes (torch F.nll_loss semantics)."""
+def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array,
+               axis_name: Optional[str] = None):
+    """Mean of -log p(y) over masked nodes (torch F.nll_loss semantics).
+
+    ``axis_name``: psum numerator/denominator over row-sharded devices."""
     y_safe = jnp.clip(y, 0)
     picked = jnp.take_along_axis(log_probs, y_safe[:, None], axis=1)[:, 0]
     m = mask.astype(log_probs.dtype)
-    return -jnp.sum(picked * m) / jnp.maximum(jnp.sum(m), 1.0)
+    num = -jnp.sum(picked * m)
+    den = jnp.sum(m)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
-def kl_batchmean(log_q: jax.Array, log_p: jax.Array, mask: jax.Array):
+def kl_batchmean(log_q: jax.Array, log_p: jax.Array, mask: jax.Array,
+                 axis_name: Optional[str] = None):
     """torch F.kl_div(log_q, log_p, log_target=True, reduction='batchmean')
     over masked rows: sum(exp(log_p)·(log_p − log_q)) / num_rows."""
     kl = jnp.exp(log_p) * (log_p - log_q)
     m = mask.astype(log_q.dtype)[:, None]
-    return jnp.sum(kl * m) / jnp.maximum(jnp.sum(mask), 1)
+    num = jnp.sum(kl * m)
+    den = jnp.sum(mask)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1)
 
 
 def to_undirected_np(data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
@@ -391,7 +406,8 @@ def _train_ktgnn_impl(data, cfg):
                 }
                 start_epoch = int(raw["epoch"]) + 1
     t_start = time.time()
-    epoch_times = []
+    timer = StepTimer(num_edges=g.num_edges)
+    epoch_times = timer.times
 
     use_scan = (
         cfg.scan_epochs > 0
@@ -463,20 +479,20 @@ def _train_ktgnn_impl(data, cfg):
             mean_epoch_time=float(np.mean(epoch_times[2:]))
             if len(epoch_times) > 2
             else float(np.mean(epoch_times)),
+            throughput=timer.summary(),
             params=params,
             batch_stats=batch_stats,
             num_edges=g.num_edges,
         )
 
     for epoch in range(start_epoch, cfg.num_epoch + 1):
-        t0 = time.time()
-        rng, drop_rng = jax.random.split(rng)
-        params, batch_stats, opt_state, loss, aux = train_step(
-            params, batch_stats, opt_state, drop_rng
-        )
-        loss_t2 = float(aux["loss_t2"])
-        scores, per_head = evaluate(params, batch_stats)
-        epoch_times.append(time.time() - t0)
+        with timer:
+            rng, drop_rng = jax.random.split(rng)
+            params, batch_stats, opt_state, loss, aux = train_step(
+                params, batch_stats, opt_state, drop_rng
+            )
+            loss_t2 = float(aux["loss_t2"])
+            scores, per_head = evaluate(params, batch_stats)
         history.append(
             dict(epoch=epoch, loss=float(loss), loss_t2=loss_t2, **scores)
         )
@@ -524,6 +540,7 @@ def _train_ktgnn_impl(data, cfg):
         mean_epoch_time=float(np.mean(epoch_times[2:]))
         if len(epoch_times) > 2
         else float(np.mean(epoch_times)),
+        throughput=timer.summary(),
         params=params,
         batch_stats=batch_stats,
         num_edges=g.num_edges,
