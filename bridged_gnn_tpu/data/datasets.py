@@ -178,9 +178,31 @@ def prepare_datasets(
             "fb_howard2simmons":
                 "dataset_FB(Howard->Simmons)_pyg_relational_intra.dat",
         }[dataset_name]
-        data = load_pyg_data_dict(os.path.join(data_root, fname))
-        if "source_mask" in data:
-            data["central_mask"] = data.pop("source_mask")
+        path = os.path.join(data_root, fname)
+        if os.path.exists(path):
+            data = load_pyg_data_dict(path)
+            if "source_mask" in data:
+                data["central_mask"] = data.pop("source_mask")
+        else:
+            # assemble from raw .mat files under <data_root>/facebook100/
+            # (reference Facebook100_KT, datasets.py:69-138, with the
+            # import-time execution made an explicit fallback here)
+            from bridged_gnn_tpu.data.facebook100 import (
+                facebook100_kt,
+                merge_fb_vsgraph,
+            )
+
+            univs = {
+                "fb_hamilton2caltech": ("Hamilton46", "Caltech36"),
+                "fb_howard2simmons": ("Howard90", "Simmons81"),
+            }[dataset_name]
+            mat_dir = os.path.join(data_root, "facebook100")
+            src, tar = facebook100_kt(
+                os.path.join(mat_dir, univs[0] + ".mat"),
+                os.path.join(mat_dir, univs[1] + ".mat"),
+                to_onehot=True, min_sample_per_cls=50,
+            )
+            data = merge_fb_vsgraph(src, tar)
         _fresh_masks(data)
         split_data = False
     elif dataset_name.startswith("sync"):

@@ -33,10 +33,16 @@ def onehot_encode_columns(x: np.ndarray) -> np.ndarray:
     return np.concatenate(cols, axis=1)
 
 
-def load_fb100_mat(path: str) -> Dict[str, np.ndarray]:
+def load_fb100_mat(path: str, heterophily: bool = False) -> Dict[str, np.ndarray]:
     """Read one university graph from its .mat file
     (dataset_facebook100.py:123-131): adjacency → COO edges,
-    local_info[:,0] → label, local_info[:,1:] → raw categorical features."""
+    local_info[:,0] → label, local_info[:,1:] → raw categorical features.
+
+    ``heterophily=True`` is the gender-label variant
+    (Facebook100_heterphily, dataset_facebook100.py:249-267): label =
+    local_info[:,1] (gender) shifted by -1; features = the remaining
+    columns [0,2,3,4,5,6] (status flag, major, minor, dorm, year,
+    high school)."""
     from scipy.io import loadmat
     import scipy.sparse as sp
 
@@ -44,9 +50,44 @@ def load_fb100_mat(path: str) -> Dict[str, np.ndarray]:
     a = sp.csr_matrix(mat["A"]).tocoo()
     edge_index = np.stack([a.row, a.col]).astype(np.int64)
     info = np.asarray(mat["local_info"], dtype=np.int64)
-    y = info[:, 0] - 1          # status flag; raw value 0 → -1 (missing)
-    x_raw = info[:, 1:]
+    if heterophily:
+        y = info[:, 1] - 1      # gender; raw 0 (missing) → -1
+        x_raw = info[:, [0, 2, 3, 4, 5, 6]]
+    else:
+        y = info[:, 0] - 1      # status flag; raw value 0 → -1 (missing)
+        x_raw = info[:, 1:]
     return dict(edge_index=edge_index, y=y, x_raw=x_raw)
+
+
+def count_based_split(
+    data: Dict[str, np.ndarray],
+    num_classes: int,
+    num_train_per_class: int = 20,
+    num_val: int = 500,
+    num_test: Optional[int] = None,
+) -> None:
+    """Count-based split (reference Facebook100.split_ with
+    ``train_val_test_ratio=None``, dataset_facebook100.py:76-90):
+    ``num_train_per_class`` random nodes per class → train; then the
+    remaining nodes are shuffled and the first ``num_val`` become val, the
+    next ``num_test`` (or all the rest) become test. torch-RNG parity via
+    ``torch.randperm``, matching the reference draw order (one perm per
+    class, then one over the remainder)."""
+    import torch
+
+    y = np.asarray(data["y"])
+    for c in range(num_classes):
+        idx = np.where(y == c)[0]
+        perm = torch.randperm(len(idx)).numpy()[:num_train_per_class]
+        data["train_mask"][idx[perm]] = True
+    remaining = np.where(~data["train_mask"])[0]
+    perm = torch.randperm(len(remaining)).numpy()
+    remaining = remaining[perm]
+    data["val_mask"][remaining[:num_val]] = True
+    if num_test is not None:
+        data["test_mask"][remaining[num_val:num_val + num_test]] = True
+    else:
+        data["test_mask"][remaining[num_val:]] = True
 
 
 def build_fb100_graph(
@@ -55,8 +96,19 @@ def build_fb100_graph(
     train_val_test_ratio=(0.4, 0.3, 0.3),
     to_onehot: bool = False,
     seed: int = 0,
+    heterophily: bool = False,
+    num_train_per_class: int = 20,
+    num_val: int = 500,
+    num_test: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
-    raw = load_fb100_mat(path)
+    """Build one university graph.
+
+    ``train_val_test_ratio=None`` selects the count-based split (reference
+    dataset_facebook100.py:76-90); a ratio tuple selects the per-class
+    stratified ratio split (:91-108). ``heterophily=True`` selects the
+    gender-label variant (Facebook100_heterphily,
+    dataset_facebook100.py:169-276)."""
+    raw = load_fb100_mat(path, heterophily=heterophily)
     x = (
         onehot_encode_columns(raw["x_raw"])
         if to_onehot
@@ -71,9 +123,13 @@ def build_fb100_graph(
     )
     if split == "random":
         _seed_torch(seed)
-        dataset_split(
-            data, int(data["y"].max()) + 1, train_val_test_ratio
-        )
+        num_classes = int(data["y"].max()) + 1
+        if train_val_test_ratio is None:
+            count_based_split(
+                data, num_classes, num_train_per_class, num_val, num_test
+            )
+        else:
+            dataset_split(data, num_classes, train_val_test_ratio)
     return data
 
 

@@ -9,6 +9,10 @@ from bridged_gnn_tpu.data import (
     prepare_datasets,
 )
 from bridged_gnn_tpu.utils import eval_bridged_graph, eval_homophily
+from bridged_gnn_tpu.utils.sanitizers import (
+    assert_all_finite,
+    check_determinism,
+)
 
 
 def test_sync_ud_structure():
@@ -75,6 +79,8 @@ def test_two_stage_pipeline_synthetic():
         sim_mode="mlp", backbone="mlp",
     )
     res1 = train_adversarial(src, tar, cfg1)
+    # sanitizers guard the e2e path: trained weights must be finite
+    assert_all_finite(res1["variables"], "stage1 variables")
     g_src, g_tar = graph_from_dict(src), graph_from_dict(tar)
     merged = gen_bridged_graph(
         res1["model"], res1["variables"], g_src, None, g_tar, None,
@@ -86,3 +92,31 @@ def test_two_stage_pipeline_synthetic():
     cfg2 = Stage2Config(num_epoch=60, to_undirected=True, hidden=32)
     res2 = train_ktgnn(merged, cfg2)
     assert res2["best"]["test"] > 0.4  # 4 classes, chance ≈ 0.25
+    assert_all_finite(
+        {"params": res2["params"], "batch_stats": res2["batch_stats"]},
+        "stage2 state",
+    )
+    # per-step timing flowed into the results (utils.profiling.StepTimer)
+    assert res2["throughput"]["steps"] == 60
+    assert res2["throughput"]["edges_per_sec"] > 0
+
+
+def test_stage2_forward_deterministic():
+    """check_determinism on the jitted stage-2 eval forward: bit-identical
+    outputs across runs (sorted-segment reductions, no atomics)."""
+    import jax
+
+    from bridged_gnn_tpu.graph import graph_from_dict, with_self_loops
+    from bridged_gnn_tpu.nn.ktgnn import KTGNN
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    src, tar, data, _, _ = prepare_datasets("sync_relational-intra",
+                                            data_root="/tmp")
+    g = with_self_loops(graph_from_dict(data))
+    adj = adjacency_from_graph(g)
+    model = KTGNN(num_classes=int(data["y"].max()) + 1, hidden=16)
+    variables = model.init(jax.random.PRNGKey(0), g, adj)
+    fwd = jax.jit(
+        lambda v: model.apply(v, g, adj)[:3]  # drop loss_dist (None)
+    )
+    check_determinism(fwd, variables)
