@@ -30,6 +30,7 @@ from bridged_gnn_tpu.utils import (
     eval_homophily,
     set_random_seed,
 )
+from bridged_gnn_tpu.utils.diagnostics import degree_stats
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -132,12 +133,16 @@ def main(args):
         thres_conf_quantile=args.thres_conf_quantile,
         thres_feat_sim=args.thres_feat_sim,
         sim_mode=sim_mode, epsilon=args.epsilon,
+        # reference --batch_size is the scoring-chunk size
+        # (main_bridged_graph.py:45,90); here it sets the SDDMM row tile
+        row_block=args.batch_size,
         verbose=args.verbose,
     )
     h1, h2 = eval_homophily(merged)
     local = eval_bridged_graph(merged)
+    deg = degree_stats(merged["edge_index"], merged["x"].shape[0])
     print(f"homophily ratio: {h1:.4f} | 2nd-order: {h2:.4f} | "
-          f"local>0.5 on test: {local:.4f}")
+          f"local>0.5 on test: {local:.4f} | degrees: {deg}")
     if args.save:
         os.makedirs(args.out_dir, exist_ok=True)
         out_path = os.path.join(

@@ -28,6 +28,12 @@ NODE_BLOCK = 8     # float32 sublane multiple
 EDGE_BLOCK = 128   # lane multiple
 
 
+# Above this edge count, host-side sort/coalesce dispatch to the native
+# C++ library (native/graphcore.cpp) — numpy argsort becomes the graph
+# build bottleneck at production scale.
+NATIVE_EDGE_THRESHOLD = 1_000_000
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -98,6 +104,11 @@ def coalesce_np(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
     """
     if edge_index.size == 0:
         return edge_index.reshape(2, 0)
+    if edge_index.shape[1] >= NATIVE_EDGE_THRESHOLD:
+        from bridged_gnn_tpu.io import native
+
+        if native.native_available():
+            return native.coalesce(edge_index, num_nodes)
     src, dst = edge_index[0].astype(np.int64), edge_index[1].astype(np.int64)
     key = dst * num_nodes + src
     order = np.argsort(key, kind="stable")
@@ -109,6 +120,11 @@ def coalesce_np(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
 
 
 def sort_edges_by_dst(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
+    if edge_index.shape[1] >= NATIVE_EDGE_THRESHOLD:
+        from bridged_gnn_tpu.io import native
+
+        if native.native_available():
+            return native.sort_by_dst(edge_index)
     src, dst = edge_index[0].astype(np.int64), edge_index[1].astype(np.int64)
     order = np.argsort(dst * num_nodes + src, kind="stable")
     return np.stack([src[order], dst[order]])

@@ -58,6 +58,14 @@ def _load() -> Optional[ctypes.CDLL]:
             _I64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, _I32, _I32,
         ]
+        lib.gc_degrees.restype = None
+        lib.gc_degrees.argtypes = [
+            _I64, _I64, ctypes.c_int64, ctypes.c_int64, _I64, _I64
+        ]
+        lib.gc_edge_partition.restype = None
+        lib.gc_edge_partition.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _I64
+        ]
         _lib = lib
     except Exception:
         _lib = None
@@ -107,6 +115,39 @@ def csr_rowptr(dst_sorted: np.ndarray, num_nodes: int) -> np.ndarray:
         ).astype(np.int64)
     out = np.empty(num_nodes + 1, dtype=np.int64)
     lib.gc_csr_rowptr(dst, len(dst), num_nodes, out)
+    return out
+
+
+def degrees(
+    edge_index: np.ndarray, num_nodes: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(in_degree, out_degree) of each node; native above numpy speed."""
+    lib = _load()
+    src = np.ascontiguousarray(edge_index[0], dtype=np.int64)
+    dst = np.ascontiguousarray(edge_index[1], dtype=np.int64)
+    if lib is None:
+        return (
+            np.bincount(dst, minlength=num_nodes).astype(np.int64),
+            np.bincount(src, minlength=num_nodes).astype(np.int64),
+        )
+    in_deg = np.empty(num_nodes, dtype=np.int64)
+    out_deg = np.empty(num_nodes, dtype=np.int64)
+    lib.gc_degrees(src, dst, src.shape[0], num_nodes, in_deg, out_deg)
+    return in_deg, out_deg
+
+
+def edge_partition(
+    num_edges: int, num_shards: int, align: int = 128
+) -> np.ndarray:
+    """Contiguous near-equal edge shard offsets, aligned; [p+1] int64."""
+    lib = _load()
+    if lib is None:
+        pos = (num_edges * np.arange(num_shards + 1)) // num_shards
+        out = (pos // align) * align
+        out[-1] = num_edges
+        return out.astype(np.int64)
+    out = np.empty(num_shards + 1, dtype=np.int64)
+    lib.gc_edge_partition(num_edges, num_shards, align, out)
     return out
 
 

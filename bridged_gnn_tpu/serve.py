@@ -96,6 +96,10 @@ class SimilarityScorer:
         self.variables = variables
         self.sim_mode = sim_mode
         self.row_block = row_block
+        if adj_src is None and model.backbone == "gnn":
+            from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+            adj_src = adjacency_from_graph(g_src)
         z_src = model.apply(
             variables, g_src.x, adj_src, g_src.node_mask, False,
             method=lambda m, x, adj, mask, train: m.source_learner.encode(
@@ -113,10 +117,20 @@ class SimilarityScorer:
             self._head = None
 
     def _row_precompute(self, x_tar: np.ndarray, adj_tar=None) -> np.ndarray:
-        """Encode query (target-domain) features through the target AE."""
+        """Encode query (target-domain) features through the target AE.
+
+        With a ``gnn`` backbone the queries need an adjacency; when none is
+        supplied the queries are treated as isolated nodes (self-loop
+        graph), so SAGE aggregation sees only the node itself."""
         from bridged_gnn_tpu.graph import build_graph
 
-        g = build_graph(x_tar, np.zeros((2, 0), dtype=np.int64))
+        n = x_tar.shape[0]
+        loops = np.arange(n, dtype=np.int64)
+        g = build_graph(x_tar, np.stack([loops, loops]))
+        if adj_tar is None and self.model.backbone == "gnn":
+            from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+            adj_tar = adjacency_from_graph(g)
         z = self.model.apply(
             self.variables, g.x, adj_tar, g.node_mask, False,
             method=lambda m, x, adj, mask, train: m.target_learner.encode(

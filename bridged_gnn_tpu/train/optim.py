@@ -9,7 +9,7 @@ scripts.py:464-469).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import optax
 
@@ -37,28 +37,3 @@ def torch_adam(
     else:
         parts.append(optax.scale(-lr))
     return optax.chain(*parts)
-
-
-def stage1_optimizer() -> optax.GradientTransformation:
-    """Two parameter groups (reference scripts.py:464-469):
-    source_learner lr 1e-2 wd 5e-3; target_learner lr 1e-3 betas (0.5,.999).
-    Label function keys on the top-level module name.
-    """
-
-    def label_fn(params):
-        return {
-            k: ("source" if k == "source_learner" else "target")
-            for k in params
-        }
-
-    return optax.multi_transform(
-        {
-            "source": torch_adam(1e-2, weight_decay=5e-3),
-            "target": torch_adam(1e-3, betas=(0.5, 0.999)),
-        },
-        label_fn,
-    )
-
-
-def discriminator_optimizer() -> optax.GradientTransformation:
-    return torch_adam(1e-3, betas=(0.5, 0.999))

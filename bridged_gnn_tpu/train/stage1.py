@@ -33,6 +33,7 @@ from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
 from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
 from bridged_gnn_tpu.train.metrics import eval_metric
 from bridged_gnn_tpu.train.optim import torch_adam
+from bridged_gnn_tpu.utils.profiling import StepTimer
 from bridged_gnn_tpu.train.samplers import (
     PairEnumerator,
     PairEnumeratorCross,
@@ -92,6 +93,7 @@ def build_model(cfg: Stage1Config, src: Dict, tar: Dict) -> AdversarialLearnerV2
         norm_scale=cfg.norm_scale,
         backbone=cfg.backbone,
         sim_mode=cfg.sim_mode,
+        num_layer=cfg.num_layer,
     )
 
 
@@ -471,6 +473,7 @@ def train_adversarial(
 
     final = {"train": [], "val": [], "test": []}
     best_overall = None
+    step_timer = StepTimer()
     for rep in range(cfg.repeat):
         seed = cfg.seed if cfg.seed is not None else rep
         host_rng = np.random.default_rng(seed)
@@ -642,16 +645,19 @@ def train_adversarial(
 
         for epoch in epochs_iter:
             t0 = time.time()
-            idxs_np, y_pairs_np = sample_epoch()
-            idxs = {k2: jnp.asarray(v) for k2, v in idxs_np.items()}
-            y_pairs = {k2: jnp.asarray(v) for k2, v in y_pairs_np.items()}
-            key, drop_key = jax.random.split(key)
-            params, batch_stats, opt_st, loss_sim, aux = sim_step(
-                params, batch_stats, opt_st, drop_key, idxs, y_pairs
-            )
-            params, opt_d, loss_d = d_step(
-                params, batch_stats, opt_d, aux["h_src"], aux["h_tar"]
-            )
+            with step_timer:
+                idxs_np, y_pairs_np = sample_epoch()
+                idxs = {k2: jnp.asarray(v) for k2, v in idxs_np.items()}
+                y_pairs = {
+                    k2: jnp.asarray(v) for k2, v in y_pairs_np.items()
+                }
+                key, drop_key = jax.random.split(key)
+                params, batch_stats, opt_st, loss_sim, aux = sim_step(
+                    params, batch_stats, opt_st, drop_key, idxs, y_pairs
+                )
+                params, opt_d, loss_d = d_step(
+                    params, batch_stats, opt_d, aux["h_src"], aux["h_tar"]
+                )
 
             train_scores = train_f1s(
                 y_pairs_np,
@@ -712,5 +718,6 @@ def train_adversarial(
         variables=best_overall[1],
         final=final,
         summary=summary,
+        throughput=step_timer.summary(),
         model=model,
     )

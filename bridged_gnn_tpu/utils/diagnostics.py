@@ -39,6 +39,20 @@ def eval_homophily(data: Dict[str, np.ndarray]) -> Tuple[float, float]:
     return h1, h2
 
 
+def degree_stats(
+    edge_index: np.ndarray, num_nodes: int
+) -> Dict[str, float]:
+    """In/out degree summary of a graph (native gc_degrees when built)."""
+    from bridged_gnn_tpu.io.native import degrees
+
+    in_deg, out_deg = degrees(np.asarray(edge_index), num_nodes)
+    return dict(
+        in_mean=float(in_deg.mean()), in_max=int(in_deg.max(initial=0)),
+        out_mean=float(out_deg.mean()), out_max=int(out_deg.max(initial=0)),
+        isolated=int(((in_deg == 0) & (out_deg == 0)).sum()),
+    )
+
+
 def eval_bridged_graph(data: Dict[str, np.ndarray]) -> float:
     """Share of test nodes whose labeled in-neighborhood is majority
     same-label (reference eval_bridged_Graph, utils.py:101-113)."""

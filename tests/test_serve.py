@@ -97,3 +97,34 @@ def test_similarity_scorer(a2d_ckpt, rng):
     # values sorted descending, valid probabilities
     assert (np.diff(vals, axis=1) <= 1e-6).all()
     assert ((vals >= 0) & (vals <= 1)).all()
+
+
+def test_similarity_scorer_gnn_backbone(rng):
+    """gnn-backbone scorer: queries treated as isolated self-loop nodes
+    (VERDICT r1 weak-8: this path used to crash on adj_tar=None)."""
+    from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
+
+    model = AdversarialLearnerV2(
+        dim_in_src=16, dim_in_tar=16, num_classes_src=3, num_classes_tar=3,
+        dim_hidden=8, source_clf=True, use_norm=True, norm_mode="None",
+        backbone="gnn", sim_mode="cosine",
+    )
+    src_x = rng.normal(size=(40, 16)).astype(np.float32)
+    ei = np.stack([rng.integers(0, 40, 80), rng.integers(0, 40, 80)])
+    g_src = graph_from_dict(dict(
+        x=src_x, edge_index=ei, y=rng.integers(0, 3, size=40)))
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    variables = model.init(
+        jax.random.PRNGKey(0), g_src.x, adjacency_from_graph(g_src),
+        g_src.x, adjacency_from_graph(g_src),
+        jnp.zeros(4, dtype=jnp.int32), jnp.zeros(4, dtype=jnp.int32),
+        method=AdversarialLearnerV2.init_all,
+    )
+    scorer = SimilarityScorer(model, variables, g_src, sim_mode="cosine",
+                              row_block=16)
+    vals, idxs = scorer.topk_sources(
+        rng.normal(size=(6, 16)).astype(np.float32), k=3
+    )
+    assert vals.shape == (6, 3) and idxs.shape == (6, 3)
+    assert np.isfinite(vals).all()
