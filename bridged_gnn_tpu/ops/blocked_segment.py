@@ -88,6 +88,82 @@ def segment_sum_blocked(
     return out.reshape(num_blocks * node_block, d)[:num_nodes_padded]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_nodes_padded", "node_block", "max_edges",
+                     "num_blocks", "op"),
+)
+def segment_reduce_blocked_1d(
+    vals: jax.Array,       # [E_pad] (pre-masked: 0 for sum, -inf for max)
+    ids: jax.Array,        # [E_pad] int32 sorted
+    block_start: jax.Array,
+    num_nodes_padded: int,
+    node_block: int,
+    max_edges: int,
+    num_blocks: int,
+    op: str = "sum",
+) -> jax.Array:
+    """Scatter-free 1-D segment reduce (sum or max) over sorted ids.
+
+    Same tiling as segment_sum_blocked but the per-block reduction is a
+    masked row-reduce on the VPU instead of a matmul — used for the
+    attention softmax statistics so the sharded conv layer contains no
+    XLA scatters at all."""
+    fill = jnp.array(0 if op == "sum" else -1e30, vals.dtype)
+    vals_ext = jnp.concatenate(
+        [vals, jnp.full((max_edges,), fill, vals.dtype)], axis=0
+    )
+    ids_ext = jnp.concatenate(
+        [ids, jnp.full((max_edges,), num_nodes_padded, jnp.int32)], axis=0
+    )
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (node_block, max_edges), 0
+    )
+
+    def per_block(i):
+        start = block_start[i]
+        v = jax.lax.dynamic_slice(vals_ext, (start,), (max_edges,))
+        bids = jax.lax.dynamic_slice(ids_ext, (start,), (max_edges,))
+        rel = bids - i * node_block
+        hit = rows == rel[None, :]
+        masked = jnp.where(hit, v[None, :], fill)
+        if op == "sum":
+            return jnp.sum(masked, axis=1)
+        return jnp.max(masked, axis=1)
+
+    out = jax.lax.map(per_block, jnp.arange(num_blocks, dtype=jnp.int32))
+    return out.reshape(-1)[:num_nodes_padded]
+
+
+def segment_softmax_blocked(
+    logits: jax.Array,     # [E_pad]
+    ids: jax.Array,        # [E_pad] int32 sorted
+    mask: jax.Array,       # [E_pad] bool
+    block_start: jax.Array,
+    num_nodes_padded: int,
+    node_block: int,
+    max_edges: int,
+    num_blocks: int,
+) -> jax.Array:
+    """Scatter-free segment softmax (torch_geometric.utils.softmax
+    semantics, reference models/KTGNN.py:299) over dst-sorted edges."""
+    neg = jnp.asarray(-1e30, logits.dtype)
+    lm = jnp.where(mask, logits, neg)
+    m = segment_reduce_blocked_1d(
+        lm, ids, block_start, num_nodes_padded, node_block, max_edges,
+        num_blocks, op="max",
+    )
+    m = jax.lax.stop_gradient(jnp.maximum(m, neg))
+    shifted = jnp.where(mask, logits - m[ids], neg)
+    e = jnp.exp(shifted)
+    denom = segment_reduce_blocked_1d(
+        jnp.where(mask, e, 0), ids, block_start, num_nodes_padded,
+        node_block, max_edges, num_blocks, op="sum",
+    )
+    denom = jnp.where(denom == 0, 1.0, denom)
+    return e / denom[ids]
+
+
 def spmm_blocked(
     x: jax.Array,
     senders: jax.Array,
