@@ -102,23 +102,42 @@ class AdaptedConv(nn.Module):
 
         # --- aggregation (joint softmax already applied; split by dst domain)
         if self.aggregate_dense and adj.use_dense and self.axis_name is None:
-            n_pad = adj.num_nodes_padded
-            w1 = jnp.where(em & dst_central, alpha, 0.0)
-            w2 = jnp.where(em & ~dst_central, alpha, 0.0)
-            mat = (
-                jnp.zeros((2, n_pad, n_pad), dtype=x.dtype)
-                .at[0, r, s].add(w1)
-                .at[1, r, s].add(w2)
+            from bridged_gnn_tpu.ops.blocked_segment import (
+                dense_from_edges,
+                use_matmul_dense_build,
             )
+
+            n_pad = adj.num_nodes_padded
+            # On TPU the weighted adjacency is rebuilt scatter-free via
+            # one-hot matmuls; the .at[r,s].add scatter was the stage-2
+            # dense-path TPU compile pathology (results_a2d_tpu_timing.json)
+            w1 = jnp.where(em & dst_central, alpha, 0.0).astype(x.dtype)
+            w2 = jnp.where(em & ~dst_central, alpha, 0.0).astype(x.dtype)
+            if use_matmul_dense_build():
+                mats = [
+                    dense_from_edges(
+                        wi, s.astype(jnp.int32), r.astype(jnp.int32),
+                        adj.block_start, n_pad, adj.block_node_block,
+                        adj.block_max_edges, adj.block_num_blocks,
+                    )
+                    for wi in (w1, w2)
+                ]
+            else:
+                mat2 = (
+                    jnp.zeros((2, n_pad, n_pad), dtype=x.dtype)
+                    .at[0, r, s].add(w1)
+                    .at[1, r, s].add(w2)
+                )
+                mats = [mat2[0], mat2[1]]
             prec = (
                 jax.lax.Precision.HIGHEST
                 if x.dtype == jnp.float32
                 else None
             )
             out = (
-                jnp.dot(mat[0], u_t2s, preferred_element_type=jnp.float32,
+                jnp.dot(mats[0], u_t2s, preferred_element_type=jnp.float32,
                         precision=prec)
-                + jnp.dot(mat[1], u_s2t, preferred_element_type=jnp.float32,
+                + jnp.dot(mats[1], u_s2t, preferred_element_type=jnp.float32,
                           precision=prec)
             ).astype(x.dtype)
         elif adj.fast_fn is not None and self.axis_name is None:

@@ -164,6 +164,71 @@ def segment_softmax_blocked(
     return e / denom[ids]
 
 
+def use_matmul_dense_build() -> bool:
+    """Scatter dense builds are fine on CPU (and faster there); the
+    one-hot-matmul build exists for TPU, where the scatter lowering has
+    pathological compile times (results_a2d_tpu_timing.json)."""
+    return jax.default_backend() != "cpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_nodes_padded", "node_block", "max_edges",
+                     "num_blocks"),
+)
+def dense_from_edges(
+    weights: jax.Array,    # [E_pad] (pre-masked to 0 on padded edges)
+    senders: jax.Array,    # [E_pad] int32
+    receivers: jax.Array,  # [E_pad] int32 sorted
+    block_start: jax.Array,
+    num_nodes_padded: int,
+    node_block: int,
+    max_edges: int,
+    num_blocks: int,
+) -> jax.Array:
+    """dense[r, s] = Σ w over edges (scatter-free).
+
+    Replaces ``zeros.at[r, s].add(w)`` — whose TPU lowering is an O(E)
+    serialized scatter with pathological compile times at production
+    sizes (results_a2d_tpu_timing.json: 1046 s total on the gather path)
+    — with per-receiver-block one-hot matmuls:
+    ``dense[rb] = (onehot_r * w) @ onehot_s`` on the MXU. Autodiff gives
+    the weight cotangent as transposed matmuls (an SDDMM), also
+    scatter-free. Used by the dense aggregation path of AdaptedConv and
+    ``build_adjacency`` (reference hot path models/KTGNN.py:303-324)."""
+    w_ext = jnp.concatenate(
+        [weights, jnp.zeros((max_edges,), weights.dtype)], axis=0
+    )
+    s_ext = jnp.concatenate(
+        [senders, jnp.zeros((max_edges,), jnp.int32)], axis=0
+    )
+    r_ext = jnp.concatenate(
+        [receivers,
+         jnp.full((max_edges,), num_nodes_padded, jnp.int32)], axis=0
+    )
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (node_block, max_edges), 0
+    )
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (max_edges, num_nodes_padded), 1
+    )
+
+    def per_block(i):
+        start = block_start[i]
+        w = jax.lax.dynamic_slice(w_ext, (start,), (max_edges,))
+        se = jax.lax.dynamic_slice(s_ext, (start,), (max_edges,))
+        re = jax.lax.dynamic_slice(r_ext, (start,), (max_edges,))
+        rel = re - i * node_block
+        oh_r = (rows == rel[None, :]).astype(weights.dtype) * w[None, :]
+        oh_s = (cols == se[:, None]).astype(weights.dtype)
+        return jnp.dot(oh_r, oh_s, preferred_element_type=jnp.float32)
+
+    out = jax.lax.map(per_block, jnp.arange(num_blocks, dtype=jnp.int32))
+    return out.reshape(num_blocks * node_block, num_nodes_padded)[
+        :num_nodes_padded
+    ].astype(weights.dtype)
+
+
 def spmm_blocked(
     x: jax.Array,
     senders: jax.Array,

@@ -91,10 +91,33 @@ def build_adjacency(
     dense = None
     block_kwargs = {}
     if method == "dense":
-        dense = (
-            jnp.zeros((n_pad, n_pad), dtype=dtype)
-            .at[receivers, senders]
-            .add(w)
+        from bridged_gnn_tpu.ops.blocked_segment import (
+            build_block_meta,
+            dense_from_edges,
+            use_matmul_dense_build,
+        )
+
+        # Block metadata is kept on the Adjacency so per-layer weighted
+        # rebuilds can run scatter-free on TPU (see dense_from_edges).
+        meta = build_block_meta(np.asarray(receivers), n_pad)
+        bs = jnp.asarray(meta.block_start)
+        if use_matmul_dense_build():
+            dense = dense_from_edges(
+                w, senders.astype(jnp.int32), receivers.astype(jnp.int32),
+                bs, n_pad, meta.node_block, meta.max_edges,
+                meta.num_blocks,
+            )
+        else:
+            dense = (
+                jnp.zeros((n_pad, n_pad), dtype=dtype)
+                .at[receivers, senders]
+                .add(w)
+            )
+        block_kwargs = dict(
+            block_start=bs,
+            block_max_edges=meta.max_edges,
+            block_node_block=meta.node_block,
+            block_num_blocks=meta.num_blocks,
         )
     elif method == "blocked":
         from bridged_gnn_tpu.ops.blocked_segment import (
@@ -160,12 +183,25 @@ def spmm(
         if edge_weights is None:
             mat = adj.dense
         else:
-            w = jnp.where(adj.edge_mask, edge_weights, 0).astype(x.dtype)
-            mat = (
-                jnp.zeros((n_pad, n_pad), dtype=x.dtype)
-                .at[adj.receivers, adj.senders]
-                .add(w)
+            from bridged_gnn_tpu.ops.blocked_segment import (
+                dense_from_edges,
+                use_matmul_dense_build,
             )
+
+            w = jnp.where(adj.edge_mask, edge_weights, 0).astype(x.dtype)
+            if use_matmul_dense_build():
+                mat = dense_from_edges(
+                    w, adj.senders.astype(jnp.int32),
+                    adj.receivers.astype(jnp.int32), adj.block_start, n_pad,
+                    adj.block_node_block, adj.block_max_edges,
+                    adj.block_num_blocks,
+                )
+            else:
+                mat = (
+                    jnp.zeros((n_pad, n_pad), dtype=x.dtype)
+                    .at[adj.receivers, adj.senders]
+                    .add(w)
+                )
         # fp32 inputs keep full precision (default TPU matmul is bf16);
         # callers opt into bf16 by passing bf16 features.
         prec = None if x.dtype != jnp.float32 else jax.lax.Precision.HIGHEST

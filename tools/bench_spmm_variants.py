@@ -34,7 +34,7 @@ from bridged_gnn_tpu.ops.blocked_segment import (  # noqa: E402
 N, E, D = 131_072, 2_097_152, 128
 
 
-def timed_chain(step, init, n_lo=2, n_hi=12, reps=3):
+def timed_chain(step, init, n_lo=2, n_hi=82, reps=4):
     """Per-iteration seconds of `carry = step(carry)` with forced sync."""
 
     @functools.partial(jax.jit, static_argnums=1)
@@ -103,7 +103,7 @@ def main():
             return c + (jnp.sum(out, axis=0) * 1e-9).astype(c.dtype)
 
         m0 = jnp.asarray(rng.normal(size=(E, D)), dtype=jnp.bfloat16)
-        t_r = timed_chain(reduce_step, m0, n_lo=2, n_hi=8)
+        t_r = timed_chain(reduce_step, m0, n_lo=2, n_hi=42)
         res[f"blocked_reduce_nb{nb}_ms"] = round(t_r * 1e3, 3)
         res[f"blocked_reduce_nb{nb}_max_edges"] = meta.max_edges
 
@@ -115,7 +115,7 @@ def main():
             ).astype(c.dtype)
             return c + out * 1e-6
 
-        t_f = timed_chain(spmm_step, x0, n_lo=2, n_hi=8)
+        t_f = timed_chain(spmm_step, x0, n_lo=2, n_hi=42)
         res[f"spmm_blocked_nb{nb}_ms"] = round(t_f * 1e3, 3)
         res[f"spmm_blocked_nb{nb}_Medges_s"] = round(E / t_f / 1e6, 1)
 
@@ -127,7 +127,7 @@ def main():
         ).astype(c.dtype)
         return c + out * 1e-6
 
-    t_s = timed_chain(scatter_step, x0, n_lo=2, n_hi=6)
+    t_s = timed_chain(scatter_step, x0, n_lo=2, n_hi=22)
     res["spmm_scatter_ms"] = round(t_s * 1e3, 3)
     res["spmm_scatter_Medges_s"] = round(E / t_s / 1e6, 1)
 
