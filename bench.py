@@ -41,20 +41,20 @@ if platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, {repo!r})
-from bridged_gnn_tpu.ops.blocked_segment import build_block_meta, spmm_blocked
+from bridged_gnn_tpu.ops.blocked_segment import make_blocked_ops
 
 N, E, D, WARMUP, ITERS = {n}, {e}, {d}, {warmup}, {iters}
 rng = np.random.default_rng(0)
-senders = jnp.asarray(rng.integers(0, N, size=E).astype(np.int32))
+snp = rng.integers(0, N, size=E).astype(np.int32)
 rnp = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
-receivers = jnp.asarray(rnp)
-em = jnp.ones(E, dtype=bool)
+em = np.ones(E, dtype=bool)
 x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32),
                 dtype=jnp.bfloat16)
-meta = build_block_meta(rnp, N, 512)
-f = jax.jit(
-    lambda x: spmm_blocked(x, senders, receivers, em, meta, N)
-)
+w = jnp.ones((E,), jnp.bfloat16)
+# production aggregation path: weighted padded-tile gather+one-hot-matmul
+# segment reduce (the custom-VJP SpMM the KT-GNN conv runs)
+ops = make_blocked_ops(snp, rnp, em, N, node_block=256)
+f = jax.jit(lambda x: ops.spmm(x, w))
 out = f(x); out.block_until_ready()
 for _ in range(WARMUP):
     f(x).block_until_ready()

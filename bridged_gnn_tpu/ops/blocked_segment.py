@@ -14,7 +14,7 @@ bound (degree skew inflates the bound; build_block_meta reports it).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -248,6 +248,89 @@ def spmm_blocked(
     ).astype(x.dtype)
 
 
+class PaddedLayout(NamedTuple):
+    """Host-built padded per-block edge layout (one per sort order).
+
+    Edges sorted by key are re-laid into [num_blocks, tile_e] fixed slots
+    (block b owns keys [b·nb, (b+1)·nb)); the segment reduce then becomes
+    ONE batched one-hot matmul — no lax.map, no dynamic_slice — which XLA
+    pipelines end to end. Measured on-chip (tools/bench_spmm_padded.py):
+    4.99 ms for 2M edges × 128 bf16 (420 Medges/s, 89% of the measured
+    474 Mrows/s gather-engine ceiling) vs 8.5 ms for the lax.map path.
+    Slot padding costs 3-6% extra gather rows (pad_frac)."""
+
+    other_slot: jax.Array   # [B*Et] int32: gather ids (non-key endpoint)
+    rel_key: jax.Array      # [B, Et] int32: key - b*nb (nb ⇒ no hit)
+    slot_edge: jax.Array    # [B*Et] int32: original edge index per slot
+    slot_mask: jax.Array    # [B*Et] bool
+    node_block: int
+    tile_e: int
+    num_blocks: int
+    num_nodes_padded: int
+
+
+def build_padded_layout(
+    key_sorted: np.ndarray,     # [E] sorted segment keys
+    other: np.ndarray,          # [E] the gathered endpoint per edge
+    edge_index_orig: np.ndarray,  # [E] original edge ids in this order
+    valid: np.ndarray,          # [E] bool
+    num_nodes_padded: int,
+    node_block: int = 256,
+) -> PaddedLayout:
+    n = num_nodes_padded
+    nb = node_block
+    num_blocks = -(-n // nb)
+    bounds = np.searchsorted(
+        key_sorted, np.arange(num_blocks + 1) * nb, side="left"
+    )
+    per_block = np.diff(bounds)
+    tile_e = ((int(per_block.max()) + 127) // 128) * 128
+    other_slot = np.zeros((num_blocks, tile_e), dtype=np.int32)
+    rel_key = np.full((num_blocks, tile_e), nb, dtype=np.int32)
+    slot_edge = np.zeros((num_blocks, tile_e), dtype=np.int32)
+    slot_mask = np.zeros((num_blocks, tile_e), dtype=bool)
+    for b in range(num_blocks):
+        k = per_block[b]
+        sl = slice(bounds[b], bounds[b + 1])
+        other_slot[b, :k] = other[sl]
+        rel_key[b, :k] = key_sorted[sl] - b * nb
+        slot_edge[b, :k] = edge_index_orig[sl]
+        slot_mask[b, :k] = valid[sl]
+    # invalid (padded) edges must not hit any output row
+    rel_key[~slot_mask.reshape(num_blocks, tile_e)] = nb
+    return PaddedLayout(
+        other_slot=jnp.asarray(other_slot.reshape(-1)),
+        rel_key=jnp.asarray(rel_key),
+        slot_edge=jnp.asarray(slot_edge.reshape(-1)),
+        slot_mask=jnp.asarray(slot_mask.reshape(-1)),
+        node_block=nb,
+        tile_e=tile_e,
+        num_blocks=num_blocks,
+        num_nodes_padded=n,
+    )
+
+
+def padded_gather_reduce(
+    lay: PaddedLayout, x: jax.Array, w_slot: Optional[jax.Array] = None
+) -> jax.Array:
+    """out[key] = Σ w·x[other] via one gather + one batched one-hot dot.
+
+    ``w_slot``: per-slot weights [B*Et] (already permuted to slot order
+    and masked), or None for unweighted."""
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    d = x.shape[1]
+    msg = x[lay.other_slot].reshape(B, Et, d)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+    oh = (rows == lay.rel_key[:, None, :]).astype(x.dtype)
+    if w_slot is not None:
+        oh = oh * w_slot.reshape(B, 1, Et).astype(x.dtype)
+    out = jax.lax.dot_general(
+        oh, msg, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B * nb, d)[: lay.num_nodes_padded]
+
+
 class BlockedOps(NamedTuple):
     """Scatter-free edge ops bound to one (dst-sorted) edge array.
 
@@ -270,39 +353,37 @@ def make_blocked_ops(
     num_nodes_padded: int,
     node_block: int = 256,
 ) -> BlockedOps:
-    s = np.asarray(senders)
-    r = np.asarray(receivers)
+    s = np.asarray(senders).astype(np.int64)
+    r = np.asarray(receivers).astype(np.int64)
     em = np.asarray(edge_mask)
-    meta_dst = build_block_meta(r, num_nodes_padded, node_block)
+    e = len(s)
+    eid = np.arange(e)
+    # dst-keyed layout (edges already dst-sorted by the Graph container)
+    lay_dst = build_padded_layout(
+        r, s.astype(np.int32), eid, em, num_nodes_padded, node_block
+    )
+    # src-keyed layout for the backward-by-sender reduction
     perm = np.argsort(s, kind="stable")
-    s_sorted = s[perm]
-    meta_src = build_block_meta(s_sorted, num_nodes_padded, node_block)
+    lay_src = build_padded_layout(
+        s[perm], r[perm].astype(np.int32), eid[perm], em[perm],
+        num_nodes_padded, node_block,
+    )
 
     senders_j = jnp.asarray(s.astype(np.int32))
     receivers_j = jnp.asarray(r.astype(np.int32))
     mask_j = jnp.asarray(em)
-    perm_j = jnp.asarray(perm.astype(np.int32))
-    s_sorted_j = jnp.asarray(s_sorted.astype(np.int32))
-    bs_dst = jnp.asarray(meta_dst.block_start)
-    bs_src = jnp.asarray(meta_src.block_start)
 
-    def segsum_by_dst(vals):
-        return segment_sum_blocked(
-            vals, receivers_j, bs_dst, num_nodes_padded,
-            meta_dst.node_block, meta_dst.max_edges, meta_dst.num_blocks,
-        )
-
-    def segsum_by_src(vals):
-        return segment_sum_blocked(
-            vals[perm_j], s_sorted_j, bs_src, num_nodes_padded,
-            meta_src.node_block, meta_src.max_edges, meta_src.num_blocks,
+    def slot_w(lay, w):
+        return (
+            w[lay.slot_edge] * lay.slot_mask.astype(w.dtype)
         )
 
     @jax.custom_vjp
     def spmm_fast(x, w):
-        msg = x[senders_j] * w[:, None].astype(x.dtype)
-        msg = jnp.where(mask_j[:, None], msg, 0)
-        return segsum_by_dst(msg).astype(x.dtype)
+        wm = jnp.where(mask_j, w, 0)
+        return padded_gather_reduce(
+            lay_dst, x, slot_w(lay_dst, wm.astype(x.dtype))
+        ).astype(x.dtype)
 
     def spmm_fwd(x, w):
         return spmm_fast(x, w), (x, w)
@@ -310,9 +391,14 @@ def make_blocked_ops(
     def spmm_bwd(res, dout):
         x, w = res
         dout = dout.astype(x.dtype)
+        wm = jnp.where(mask_j, w, 0).astype(x.dtype)
+        # dx[u] = Σ_{(u,v)} w_uv · dout[v]  — src-keyed padded reduce
+        dx = padded_gather_reduce(
+            lay_src, dout, slot_w(lay_src, wm)
+        ).astype(x.dtype)
+        # dw_uv = dout[v] · x[u]
         dmsg = jnp.where(mask_j[:, None], dout[receivers_j], 0)
         dw = jnp.sum(dmsg * x[senders_j], axis=-1).astype(w.dtype)
-        dx = segsum_by_src(dmsg * w[:, None].astype(x.dtype)).astype(x.dtype)
         return dx, dw
 
     spmm_fast.defvjp(spmm_fwd, spmm_bwd)
@@ -327,7 +413,23 @@ def make_blocked_ops(
 
     def ps_bwd(_, de):
         de = jnp.where(mask_j[:, None], de, 0)
-        du = segsum_by_src(de) + segsum_by_dst(de)
+
+        # du = Σ_{e: s_e=u} de[e] + Σ_{e: r_e=u} de[e]; the padded
+        # layouts reduce the de rows permuted into each slot order
+        def reduce_rows(lay):
+            B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+            d = de.shape[-1]
+            vals = de[lay.slot_edge].reshape(B, Et, d)
+            rws = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+            oh = (rws == lay.rel_key[:, None, :]).astype(de.dtype)
+            oh = oh * lay.slot_mask.astype(de.dtype).reshape(B, 1, Et)
+            out = jax.lax.dot_general(
+                oh, vals, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return out.reshape(B * nb, d)[: lay.num_nodes_padded]
+
+        du = reduce_rows(lay_dst) + reduce_rows(lay_src)
         return (du.astype(de.dtype),)
 
     pair_sum.defvjp(ps_fwd, ps_bwd)
