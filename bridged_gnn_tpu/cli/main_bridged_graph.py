@@ -76,6 +76,9 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def main(args):
+    from bridged_gnn_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     set_random_seed(0)
     src_d, tar_d, data, m_src, m_tar = prepare_datasets(
         args.dataset_name, args.data_root

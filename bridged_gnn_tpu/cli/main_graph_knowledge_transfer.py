@@ -55,6 +55,9 @@ def load_bridged_graph(path: str):
 def main(args):
     import os
 
+    from bridged_gnn_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     set_random_seed(0)
     data = load_bridged_graph(args.path_data)
     print("local homophily of test nodes:", eval_bridged_graph(data))

@@ -47,6 +47,10 @@ class AdaptedConv(nn.Module):
     negative_slope: float = 0.1
     aggregate_dense: bool = True  # use MXU dense path when adj has dense
     axis_name: Optional[str] = None  # mesh axis for edge-sharded SPMD
+    # fused attention (ops/fused_attention.py): logits + segment softmax +
+    # aggregation from TWO row gathers in the padded slot layout; used when
+    # the adjacency carries blocked ops and the dense path doesn't apply
+    use_fused: bool = True
 
     @nn.compact
     def __call__(
@@ -79,13 +83,33 @@ class AdaptedConv(nn.Module):
         u_s2t = torch_dense(self.out_channels, name="lin_t")(x_s2t)
         u_t2s = torch_dense(self.out_channels, name="lin_s")(x_t2s)
 
+        # --- fused path: attention + softmax + aggregation from two row
+        # gathers in the padded slot layout (ops/fused_attention.py)
+        fused_ok = (
+            self.use_fused
+            and self.axis_name is None
+            and adj.fast_fn is not None
+            and getattr(adj.fast_fn, "gather_slots", None) is not None
+            and not (self.aggregate_dense and adj.use_dense)
+        )
+        if fused_ok:
+            from bridged_gnn_tpu.ops.fused_attention import adapted_attention
+
+            out = adapted_attention(
+                adj.fast_fn, u_t2s, u_s2t, central_mask,
+                torch_dense(1, use_bias=False, name="a_f_t2s"),
+                torch_dense(1, use_bias=False, name="a_f_s2t"),
+                negative_slope=self.negative_slope,
+            )
+            if self.root_weight:
+                out = out + torch_dense(
+                    self.out_channels, use_bias=False, name="lin_r"
+                )(x)
+            return out
+
         # --- GATv2 attention per edge, branch chosen by destination domain
         s, r, em = adj.senders, adj.receivers, adj.edge_mask
         dst_central = central_mask[r]
-        # NOTE: adj.fast_fn.pair_sum (scatter-free endpoint-sum VJP) exists
-        # and is grad-verified, but its backward program crashes this
-        # environment's remote TPU compiler (HTTP 500), so the attention
-        # gathers stay on autodiff here.
         e_t2s = nn.leaky_relu(
             u_t2s[s] + u_t2s[r], negative_slope=self.negative_slope
         )

@@ -269,14 +269,15 @@ class PaddedLayout(NamedTuple):
     num_nodes_padded: int
 
 
-def build_padded_layout(
-    key_sorted: np.ndarray,     # [E] sorted segment keys
-    other: np.ndarray,          # [E] the gathered endpoint per edge
-    edge_index_orig: np.ndarray,  # [E] original edge ids in this order
-    valid: np.ndarray,          # [E] bool
+def _padded_layout_np(
+    key_sorted: np.ndarray,
+    other: np.ndarray,
+    edge_index_orig: np.ndarray,
+    valid: np.ndarray,
     num_nodes_padded: int,
-    node_block: int = 256,
-) -> PaddedLayout:
+    node_block: int,
+):
+    """Host slot assignment; returns numpy arrays (see PaddedLayout)."""
     n = num_nodes_padded
     nb = node_block
     num_blocks = -(-n // nb)
@@ -297,17 +298,116 @@ def build_padded_layout(
         slot_edge[b, :k] = edge_index_orig[sl]
         slot_mask[b, :k] = valid[sl]
     # invalid (padded) edges must not hit any output row
-    rel_key[~slot_mask.reshape(num_blocks, tile_e)] = nb
+    rel_key[~slot_mask] = nb
+    return other_slot, rel_key, slot_edge, slot_mask, tile_e, num_blocks
+
+
+def _layout_from_np(arrs, num_nodes_padded: int, node_block: int):
+    other_slot, rel_key, slot_edge, slot_mask, tile_e, num_blocks = arrs
     return PaddedLayout(
         other_slot=jnp.asarray(other_slot.reshape(-1)),
         rel_key=jnp.asarray(rel_key),
         slot_edge=jnp.asarray(slot_edge.reshape(-1)),
         slot_mask=jnp.asarray(slot_mask.reshape(-1)),
-        node_block=nb,
+        node_block=node_block,
         tile_e=tile_e,
         num_blocks=num_blocks,
-        num_nodes_padded=n,
+        num_nodes_padded=num_nodes_padded,
     )
+
+
+def build_padded_layout(
+    key_sorted: np.ndarray,     # [E] sorted segment keys
+    other: np.ndarray,          # [E] the gathered endpoint per edge
+    edge_index_orig: np.ndarray,  # [E] original edge ids in this order
+    valid: np.ndarray,          # [E] bool
+    num_nodes_padded: int,
+    node_block: int = 256,
+) -> PaddedLayout:
+    return _layout_from_np(
+        _padded_layout_np(
+            key_sorted, other, edge_index_orig, valid, num_nodes_padded,
+            node_block,
+        ),
+        num_nodes_padded, node_block,
+    )
+
+
+# Which backend executes the padded one-hot reduces: 'xla' (batched
+# dot_general) or 'pallas' (compiled Mosaic kernel, ops/pallas_padded.py).
+# Both produce identical results; selection is a perf knob. Env
+# BGNN_PALLAS=1 flips the default at import.
+import os as _os
+
+_REDUCE_IMPL = "pallas" if _os.environ.get("BGNN_PALLAS") == "1" else "xla"
+
+
+def set_reduce_impl(name: str) -> None:
+    global _REDUCE_IMPL
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown reduce impl: {name}")
+    _REDUCE_IMPL = name
+
+
+def get_reduce_impl() -> str:
+    return _REDUCE_IMPL
+
+
+def padded_slot_reduce(
+    lay: PaddedLayout, vals: jax.Array, w_slot: Optional[jax.Array] = None
+) -> jax.Array:
+    """out[key] = Σ_slots w·vals over slots hitting that key row.
+
+    ``vals``: per-slot rows, [B, Et, D] (or [B*Et, D]) already in this
+    layout's slot order. ``w_slot``: per-slot weights [B, Et] / [B*Et]
+    or None. Invalid (padding) slots are masked out. One batched one-hot
+    ``dot_general`` on the MXU — the reduce half of padded_gather_reduce,
+    reusable when the rows are already gathered (fused attention,
+    pair_sum backward)."""
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    vals = vals.reshape(B, Et, -1)
+    d = vals.shape[-1]
+    if _REDUCE_IMPL == "pallas":
+        from bridged_gnn_tpu.ops import pallas_padded
+
+        if pallas_padded.fits_vmem(Et, nb, d, vals.dtype.itemsize):
+            return pallas_padded.slot_reduce_pallas(lay, vals, w_slot)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
+    oh = (rows == lay.rel_key[:, None, :]).astype(vals.dtype)
+    w = lay.slot_mask.reshape(B, 1, Et).astype(vals.dtype)
+    if w_slot is not None:
+        w = w * w_slot.reshape(B, 1, Et).astype(vals.dtype)
+    out = jax.lax.dot_general(
+        oh * w, vals, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B * nb, d)[: lay.num_nodes_padded]
+
+
+def padded_block_expand(lay: PaddedLayout, blk_vals: jax.Array) -> jax.Array:
+    """slot[b, e] = blk_vals[b, rel_key[b, e]] (0 for padding slots).
+
+    ``blk_vals``: [B, nb, D] per-(block, key-row) values. Expansion runs
+    as the transposed one-hot batched matmul — NO per-element gather, so
+    it never touches the issue-rate-bound gather engine (DESIGN.md §2).
+    Autodiff gives the transposed matmul (a slot reduce), also
+    scatter-free. Returns [B, Et, D]."""
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
+    oh_t = (lay.rel_key[:, :, None] == cols).astype(blk_vals.dtype)
+    return jax.lax.dot_general(
+        oh_t, blk_vals, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(blk_vals.dtype)
+
+
+def padded_dst_expand(lay: PaddedLayout, u: jax.Array) -> jax.Array:
+    """slot[b, e] = u[key-node of slot (b,e)] — the destination-side row
+    per edge slot, [B, Et, D]. Padding-slot rows are 0."""
+    B, nb = lay.num_blocks, lay.node_block
+    n_full = B * nb
+    u_pad = jnp.pad(u, ((0, n_full - u.shape[0]), (0, 0)))
+    return padded_block_expand(lay, u_pad.reshape(B, nb, -1))
 
 
 def padded_gather_reduce(
@@ -320,6 +420,11 @@ def padded_gather_reduce(
     B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
     d = x.shape[1]
     msg = x[lay.other_slot].reshape(B, Et, d)
+    if _REDUCE_IMPL == "pallas":
+        from bridged_gnn_tpu.ops import pallas_padded
+
+        if pallas_padded.fits_vmem(Et, nb, d, msg.dtype.itemsize):
+            return pallas_padded.slot_reduce_pallas(lay, msg, w_slot)
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
     oh = (rows == lay.rel_key[:, None, :]).astype(x.dtype)
     if w_slot is not None:
@@ -336,14 +441,20 @@ class BlockedOps(NamedTuple):
 
     spmm(x [N,D], w [E]) -> [N,D]       weighted aggregation by destination
     pair_sum(u [N,D])    -> [E,D]       u[senders]+u[receivers] (masked 0)
+    gather_slots(x [N,D]) -> [B,Et,D]   sender rows in dst-slot order
 
-    Both carry custom VJPs whose backward passes are blocked one-hot-matmul
+    All carry custom VJPs whose backward passes are blocked one-hot-matmul
     segment reductions (sender- and destination-sorted) instead of XLA
-    scatters.
+    scatters. ``gather_slots`` + ``lay_dst`` are the building blocks of the
+    fused attention conv (ops/fused_attention.py) — the segment softmax and
+    aggregation reuse one gather.
     """
 
     spmm: object
     pair_sum: object
+    gather_slots: object
+    lay_dst: PaddedLayout
+    lay_src: PaddedLayout
 
 
 def make_blocked_ops(
@@ -359,15 +470,25 @@ def make_blocked_ops(
     e = len(s)
     eid = np.arange(e)
     # dst-keyed layout (edges already dst-sorted by the Graph container)
-    lay_dst = build_padded_layout(
+    dst_np = _padded_layout_np(
         r, s.astype(np.int32), eid, em, num_nodes_padded, node_block
     )
+    lay_dst = _layout_from_np(dst_np, num_nodes_padded, node_block)
     # src-keyed layout for the backward-by-sender reduction
     perm = np.argsort(s, kind="stable")
-    lay_src = build_padded_layout(
+    src_np = _padded_layout_np(
         s[perm], r[perm].astype(np.int32), eid[perm], em[perm],
         num_nodes_padded, node_block,
     )
+    lay_src = _layout_from_np(src_np, num_nodes_padded, node_block)
+
+    # edge -> dst-slot position, then composed src-slot -> dst-slot map so
+    # gather_slots' backward can re-order slot cotangents without a scatter
+    dst_slot_edge, dst_slot_mask = dst_np[2].reshape(-1), dst_np[3].reshape(-1)
+    src_slot_edge = src_np[2].reshape(-1)
+    pos_dst = np.zeros(max(e, 1), dtype=np.int32)
+    pos_dst[dst_slot_edge[dst_slot_mask]] = np.nonzero(dst_slot_mask)[0]
+    src_from_dst = jnp.asarray(pos_dst[src_slot_edge])
 
     senders_j = jnp.asarray(s.astype(np.int32))
     receivers_j = jnp.asarray(r.astype(np.int32))
@@ -413,27 +534,38 @@ def make_blocked_ops(
 
     def ps_bwd(_, de):
         de = jnp.where(mask_j[:, None], de, 0)
-
         # du = Σ_{e: s_e=u} de[e] + Σ_{e: r_e=u} de[e]; the padded
         # layouts reduce the de rows permuted into each slot order
-        def reduce_rows(lay):
-            B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
-            d = de.shape[-1]
-            vals = de[lay.slot_edge].reshape(B, Et, d)
-            rws = jax.lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
-            oh = (rws == lay.rel_key[:, None, :]).astype(de.dtype)
-            oh = oh * lay.slot_mask.astype(de.dtype).reshape(B, 1, Et)
-            out = jax.lax.dot_general(
-                oh, vals, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            return out.reshape(B * nb, d)[: lay.num_nodes_padded]
-
-        du = reduce_rows(lay_dst) + reduce_rows(lay_src)
+        du = padded_slot_reduce(lay_dst, de[lay_dst.slot_edge]) + \
+            padded_slot_reduce(lay_src, de[lay_src.slot_edge])
         return (du.astype(de.dtype),)
 
     pair_sum.defvjp(ps_fwd, ps_bwd)
-    return BlockedOps(spmm=spmm_fast, pair_sum=pair_sum)
+
+    @jax.custom_vjp
+    def gather_slots(x):
+        """Sender rows laid into dst-block slot order: [B, Et, D].
+
+        Backward is the src-keyed padded one-hot reduce (no scatter): the
+        slot cotangents are re-ordered dst-slot -> src-slot with a
+        host-precomputed index map, then reduced by sender."""
+        return x[lay_dst.other_slot].reshape(
+            lay_dst.num_blocks, lay_dst.tile_e, -1
+        )
+
+    def gsl_fwd(x):
+        return gather_slots(x), x.shape[0]
+
+    def gsl_bwd(n_rows, dm):
+        dm_flat = dm.reshape(-1, dm.shape[-1])
+        du = padded_slot_reduce(lay_src, dm_flat[src_from_dst])
+        return (du[:n_rows].astype(dm.dtype),)
+
+    gather_slots.defvjp(gsl_fwd, gsl_bwd)
+    return BlockedOps(
+        spmm=spmm_fast, pair_sum=pair_sum, gather_slots=gather_slots,
+        lay_dst=lay_dst, lay_src=lay_src,
+    )
 
 
 def make_spmm_fast(

@@ -1,0 +1,140 @@
+"""Fused attention conv parity: ops/fused_attention.py vs the plain
+segment-op formulation (and vs AdaptedConv's unfused path), forward AND
+gradients. Covers reference models/KTGNN.py:263-315 semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bridged_gnn_tpu.ops.blocked_segment import make_blocked_ops
+from bridged_gnn_tpu.ops.fused_attention import adapted_attention
+from bridged_gnn_tpu.ops.segment import segment_softmax, segment_sum
+
+
+def _random_graph(rng, n=50, n_pad=64, e=300, e_pad=384):
+    r = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+    s = rng.integers(0, n, size=e).astype(np.int32)
+    em = np.zeros(e_pad, dtype=bool)
+    em[:e] = rng.random(e) < 0.9
+    senders = np.zeros(e_pad, np.int32)
+    receivers = np.full(e_pad, n_pad - 1, np.int32)
+    senders[:e], receivers[:e] = s, r
+    # keep dst-sorted including padding tail
+    order = np.argsort(receivers, kind="stable")
+    return senders[order], receivers[order], em[order]
+
+
+def _oracle(u1, u2, central, a1, a2, s, r, em, n_pad, slope):
+    """Plain segment-op formulation (the unfused AdaptedConv math)."""
+    e1 = jax.nn.leaky_relu(u1[s] + u1[r], slope)
+    e2 = jax.nn.leaky_relu(u2[s] + u2[r], slope)
+    l1 = e1 @ a1
+    l2 = e2 @ a2
+    dst_c = central[r]
+    logits = jnp.where(dst_c, l1, l2)
+    alpha = segment_softmax(
+        logits, r, n_pad, mask=em, indices_are_sorted=True
+    )
+    msg = jnp.where(dst_c[:, None], u1[s], u2[s])
+    return segment_sum(
+        msg * alpha[:, None], r, n_pad, mask=em, indices_are_sorted=True
+    )
+
+
+@pytest.mark.parametrize("node_block", [16, 64])
+def test_fused_attention_forward_and_grads(rng, node_block):
+    n, n_pad = 50, 64
+    s, r, em = _random_graph(rng)
+    u1 = jnp.asarray(rng.normal(size=(n_pad, 8)).astype(np.float32))
+    u2 = jnp.asarray(rng.normal(size=(n_pad, 8)).astype(np.float32))
+    a1 = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    central = np.zeros(n_pad, bool)
+    central[: n // 2] = True
+    central_j = jnp.asarray(central)
+    cot = jnp.asarray(rng.normal(size=(n_pad, 8)).astype(np.float32))
+    ops = make_blocked_ops(s, r, em, n_pad, node_block=node_block)
+
+    def fused(u1, u2, a1, a2):
+        return adapted_attention(
+            ops, u1, u2, central_j,
+            lambda h: (h @ a1)[..., None],
+            lambda h: (h @ a2)[..., None],
+            negative_slope=0.1,
+        )
+
+    def oracle(u1, u2, a1, a2):
+        return _oracle(
+            u1, u2, central_j, a1, a2,
+            jnp.asarray(s), jnp.asarray(r), jnp.asarray(em), n_pad, 0.1,
+        )
+
+    got = fused(u1, u2, a1, a2)
+    want = oracle(u1, u2, a1, a2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    def loss(fn):
+        return lambda *args: jnp.sum(fn(*args) * cot)
+
+    g_got = jax.grad(loss(fused), argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    g_want = jax.grad(loss(oracle), argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    for gg, gw, name in zip(g_got, g_want, ["u1", "u2", "a1", "a2"]):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), rtol=5e-4, atol=5e-5,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_adapted_conv_fused_matches_unfused(rng):
+    """End-to-end module parity: same params, fused on/off."""
+    from bridged_gnn_tpu.graph import build_graph
+    from bridged_gnn_tpu.nn.ktgnn import AdaptedConv
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    n, e = 40, 200
+    s = rng.integers(0, n, size=e).astype(np.int64)
+    r = rng.integers(0, n, size=e).astype(np.int64)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    central = np.zeros(n, bool)
+    central[: n // 2] = True
+    g = build_graph(
+        x, np.stack([s, r]), central_mask=central, node_pad=64,
+        edge_pad=256,
+    )
+    adj = adjacency_from_graph(g, method="blocked")
+    assert adj.fast_fn is not None
+
+    kw = dict(out_channels=8, aggregate_dense=False)
+    conv_f = AdaptedConv(use_fused=True, **kw)
+    conv_u = AdaptedConv(use_fused=False, **kw)
+    params = conv_f.init(
+        jax.random.PRNGKey(0), g.x, adj, g.central_mask, g.node_mask
+    )
+    out_f = conv_f.apply(params, g.x, adj, g.central_mask, g.node_mask)
+    out_u = conv_u.apply(params, g.x, adj, g.central_mask, g.node_mask)
+    nm = np.asarray(g.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(out_f)[nm], np.asarray(out_u)[nm], rtol=2e-5, atol=2e-5
+    )
+
+    cot = jnp.asarray(rng.normal(size=out_f.shape).astype(np.float32))
+    nm_j = g.node_mask[:, None]
+
+    def loss(conv):
+        def f(p):
+            o = conv.apply(p, g.x, adj, g.central_mask, g.node_mask)
+            return jnp.sum(jnp.where(nm_j, o, 0) * cot)
+        return f
+
+    gf = jax.grad(loss(conv_f))(params)
+    gu = jax.grad(loss(conv_u))(params)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_u = jax.tree_util.tree_leaves(gu)
+    for (path, lf), lu in zip(flat_f, flat_u):
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lu), rtol=1e-3, atol=1e-5,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}",
+        )
