@@ -50,11 +50,11 @@ rnp = np.sort(rng.integers(0, N, size=E)).astype(np.int32)
 em = np.ones(E, dtype=bool)
 x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32),
                 dtype=jnp.bfloat16)
-w = jnp.ones((E,), jnp.bfloat16)
-# production aggregation path: weighted padded-tile gather+one-hot-matmul
-# segment reduce (the custom-VJP SpMM the KT-GNN conv runs)
+# production aggregation path: padded-tile gather+one-hot-matmul segment
+# reduce (the custom-VJP SpMM the GNN convs run); unweighted sum, matching
+# the torch index_add baseline — the slot mask is a layout constant
 ops = make_blocked_ops(snp, rnp, em, N, node_block=256)
-f = jax.jit(lambda x: ops.spmm(x, w))
+f = jax.jit(lambda x: ops.spmm(x))
 out = f(x); out.block_until_ready()
 for _ in range(WARMUP):
     f(x).block_until_ready()

@@ -220,26 +220,45 @@ class AdaptedConv(nn.Module):
         u_s2t = torch_dense(self.out_channels, name="lin_t")(x_s2t)
         u_t2s = torch_dense(self.out_channels, name="lin_s")(x_t2s)
 
-        s, r, em = halo.senders_local, halo.receivers_local, halo.edge_mask
-        dst_central = central_mask[r]
-        e_t2s = nn.leaky_relu(
-            u_t2s[s] + u_t2s[r], negative_slope=self.negative_slope
-        )
-        e_s2t = nn.leaky_relu(
-            u_s2t[s] + u_s2t[r], negative_slope=self.negative_slope
-        )
-        logit_t2s = torch_dense(1, use_bias=False, name="a_f_t2s")(e_t2s)
-        logit_s2t = torch_dense(1, use_bias=False, name="a_f_s2t")(e_s2t)
-        logits = jnp.where(dst_central[:, None], logit_t2s, logit_s2t)[:, 0]
         # destination-keyed ops are LOCAL (this device holds every edge
-        # into its rows — no collective) and scatter-free: both the softmax
-        # statistics and the aggregation run as blocked per-node-block
-        # reductions over this shard's contiguous dst-sorted edge ranges
-        # (VERDICT r1 item 4: the sharded path must not fall back to the
-        # XLA scatter lowering)
-        alpha = halo.segment_softmax_local(logits)
-        msg = jnp.where(dst_central[:, None], u_t2s[s], u_s2t[s])
-        out = halo.segment_sum_local(msg * alpha[:, None])
+        # into its rows — no collective) and scatter-free (VERDICT r1
+        # item 4: the sharded path must not fall back to the XLA scatter
+        # lowering). Default: the fused attention conv over this shard's
+        # padded slot layouts — senders index x_ext, destinations index
+        # owned rows; fall back to the blocked segment ops otherwise.
+        if self.use_fused and halo.pl is not None:
+            from bridged_gnn_tpu.ops.fused_attention import (
+                adapted_attention,
+            )
+
+            out = adapted_attention(
+                halo.fused_ops(), u_t2s, u_s2t, central_mask,
+                torch_dense(1, use_bias=False, name="a_f_t2s"),
+                torch_dense(1, use_bias=False, name="a_f_s2t"),
+                negative_slope=self.negative_slope,
+                u1_dst=u_t2s[: halo.rows], u2_dst=u_s2t[: halo.rows],
+            )
+        else:
+            s, r = halo.senders_local, halo.receivers_local
+            dst_central = central_mask[r]
+            e_t2s = nn.leaky_relu(
+                u_t2s[s] + u_t2s[r], negative_slope=self.negative_slope
+            )
+            e_s2t = nn.leaky_relu(
+                u_s2t[s] + u_s2t[r], negative_slope=self.negative_slope
+            )
+            logit_t2s = torch_dense(1, use_bias=False, name="a_f_t2s")(
+                e_t2s
+            )
+            logit_s2t = torch_dense(1, use_bias=False, name="a_f_s2t")(
+                e_s2t
+            )
+            logits = jnp.where(
+                dst_central[:, None], logit_t2s, logit_s2t
+            )[:, 0]
+            alpha = halo.segment_softmax_local(logits)
+            msg = jnp.where(dst_central[:, None], u_t2s[s], u_s2t[s])
+            out = halo.segment_sum_local(msg * alpha[:, None])
         if self.root_weight:
             out = out + torch_dense(
                 self.out_channels, use_bias=False, name="lin_r"

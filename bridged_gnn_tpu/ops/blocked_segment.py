@@ -276,8 +276,12 @@ def _padded_layout_np(
     valid: np.ndarray,
     num_nodes_padded: int,
     node_block: int,
+    min_tile_e: int = 0,
 ):
-    """Host slot assignment; returns numpy arrays (see PaddedLayout)."""
+    """Host slot assignment; returns numpy arrays (see PaddedLayout).
+
+    ``min_tile_e`` forces a larger static slot width — used to keep the
+    layout shape uniform across shards of a row partition."""
     n = num_nodes_padded
     nb = node_block
     num_blocks = -(-n // nb)
@@ -285,7 +289,7 @@ def _padded_layout_np(
         key_sorted, np.arange(num_blocks + 1) * nb, side="left"
     )
     per_block = np.diff(bounds)
-    tile_e = ((int(per_block.max()) + 127) // 128) * 128
+    tile_e = ((max(int(per_block.max()), min_tile_e, 1) + 127) // 128) * 128
     other_slot = np.zeros((num_blocks, tile_e), dtype=np.int32)
     rel_key = np.full((num_blocks, tile_e), nb, dtype=np.int32)
     slot_edge = np.zeros((num_blocks, tile_e), dtype=np.int32)
@@ -436,6 +440,37 @@ def padded_gather_reduce(
     return out.reshape(B * nb, d)[: lay.num_nodes_padded]
 
 
+def make_slot_gather(
+    lay_dst: PaddedLayout,
+    lay_src: PaddedLayout,
+    src_from_dst: jax.Array,
+):
+    """Custom-VJP gather of rows into dst-block slot order: [B, Et, D].
+
+    Backward is the src-keyed padded one-hot reduce (no scatter): the
+    slot cotangents are re-ordered dst-slot -> src-slot with a
+    host-precomputed index map, then reduced by sender. Works on host
+    layouts AND on per-shard layouts built from traced (sharded) arrays
+    inside shard_map (parallel/halopart.py)."""
+
+    @jax.custom_vjp
+    def gather_slots(x):
+        return x[lay_dst.other_slot].reshape(
+            lay_dst.num_blocks, lay_dst.tile_e, -1
+        )
+
+    def gsl_fwd(x):
+        return gather_slots(x), x.shape[0]
+
+    def gsl_bwd(n_rows, dm):
+        dm_flat = dm.reshape(-1, dm.shape[-1])
+        du = padded_slot_reduce(lay_src, dm_flat[src_from_dst])
+        return (du[:n_rows].astype(dm.dtype),)
+
+    gather_slots.defvjp(gsl_fwd, gsl_bwd)
+    return gather_slots
+
+
 class BlockedOps(NamedTuple):
     """Scatter-free edge ops bound to one (dst-sorted) edge array.
 
@@ -524,6 +559,26 @@ def make_blocked_ops(
 
     spmm_fast.defvjp(spmm_fwd, spmm_bwd)
 
+    # unweighted variant: skips the per-call edge->slot weight gather
+    # (a 2M-row scalar gather costs as much as 2.4 ms of gather-engine
+    # time at bench scale — the engine is issue-rate-bound regardless of
+    # row width, DESIGN.md §2); the slot mask is a layout constant
+    @jax.custom_vjp
+    def spmm_unw(x):
+        return padded_gather_reduce(lay_dst, x).astype(x.dtype)
+
+    def spmm_unw_fwd(x):
+        return spmm_unw(x), None
+
+    def spmm_unw_bwd(_, dout):
+        dx = padded_gather_reduce(lay_src, dout)
+        return (dx.astype(dout.dtype),)
+
+    spmm_unw.defvjp(spmm_unw_fwd, spmm_unw_bwd)
+
+    def spmm_dispatch(x, w=None):
+        return spmm_fast(x, w) if w is not None else spmm_unw(x)
+
     @jax.custom_vjp
     def pair_sum(u):
         e = u[senders_j] + u[receivers_j]
@@ -542,28 +597,9 @@ def make_blocked_ops(
 
     pair_sum.defvjp(ps_fwd, ps_bwd)
 
-    @jax.custom_vjp
-    def gather_slots(x):
-        """Sender rows laid into dst-block slot order: [B, Et, D].
-
-        Backward is the src-keyed padded one-hot reduce (no scatter): the
-        slot cotangents are re-ordered dst-slot -> src-slot with a
-        host-precomputed index map, then reduced by sender."""
-        return x[lay_dst.other_slot].reshape(
-            lay_dst.num_blocks, lay_dst.tile_e, -1
-        )
-
-    def gsl_fwd(x):
-        return gather_slots(x), x.shape[0]
-
-    def gsl_bwd(n_rows, dm):
-        dm_flat = dm.reshape(-1, dm.shape[-1])
-        du = padded_slot_reduce(lay_src, dm_flat[src_from_dst])
-        return (du[:n_rows].astype(dm.dtype),)
-
-    gather_slots.defvjp(gsl_fwd, gsl_bwd)
+    gather_slots = make_slot_gather(lay_dst, lay_src, src_from_dst)
     return BlockedOps(
-        spmm=spmm_fast, pair_sum=pair_sum, gather_slots=gather_slots,
+        spmm=spmm_dispatch, pair_sum=pair_sum, gather_slots=gather_slots,
         lay_dst=lay_dst, lay_src=lay_src,
     )
 

@@ -42,29 +42,35 @@ _NEG = -1e30
 
 def adapted_attention(
     ops: BlockedOps,
-    u1: jax.Array,            # [N_pad, D] messages when dst is central (t2s)
-    u2: jax.Array,            # [N_pad, D] messages when dst is target (s2t)
-    central: jax.Array,       # [N_pad] bool destination-domain flag
+    u1: jax.Array,            # [N_in, D] messages when dst is central (t2s)
+    u2: jax.Array,            # [N_in, D] messages when dst is target (s2t)
+    central: jax.Array,       # [N_out] bool destination-domain flag
     logit_fn1: Callable,      # [..., D] -> [..., 1] (a_f_t2s projection)
     logit_fn2: Callable,      # [..., D] -> [..., 1] (a_f_s2t projection)
     negative_slope: float = 0.1,
+    u1_dst: jax.Array = None,  # destination-side rows, when the sender
+    u2_dst: jax.Array = None,  # index space differs (halo: u*_ext[:rows])
 ) -> jax.Array:
     """out[v] = Σ_u softmax_v(logit) · (central[v] ? u1[u] : u2[u]).
 
     Matches AdaptedConv's attention + joint segment softmax + aggregation
     (reference models/KTGNN.py:263-315) with GATv2-style logits
     ``a·leaky_relu(u[src] + u[dst])``, branch chosen by destination
-    domain. Returns [N_pad, D_out].
+    domain. Returns [N_out, D_out]. In the halo row partition, senders
+    index the extended local array while destinations index owned rows
+    only — pass ``u?_dst`` for the destination side then.
     """
     lay = ops.lay_dst
     B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
     valid = lay.slot_mask.reshape(B, Et)
+    if u1_dst is None:
+        u1_dst, u2_dst = u1, u2
 
     # two row gathers — the only gather-engine traffic in the layer
     m1 = ops.gather_slots(u1)                       # [B, Et, D]
     m2 = ops.gather_slots(u2)
-    d1 = padded_dst_expand(lay, u1)                 # [B, Et, D] via MXU
-    d2 = padded_dst_expand(lay, u2)
+    d1 = padded_dst_expand(lay, u1_dst)             # [B, Et, D] via MXU
+    d2 = padded_dst_expand(lay, u2_dst)
 
     h1 = jax.nn.leaky_relu(m1 + d1, negative_slope)
     h2 = jax.nn.leaky_relu(m2 + d2, negative_slope)

@@ -31,12 +31,12 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _reduce_kernel(rel_ref, w_ref, msg_ref, out_ref, *, node_block):
-    rel = rel_ref[0, :]                                   # [Et]
+    rel = rel_ref[:]                                      # [Et] (1-D block)
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (node_block, rel.shape[0]), 0
     )
     oh = (rows == rel[None, :]).astype(msg_ref.dtype)
-    oh = oh * w_ref[0, :][None, :].astype(msg_ref.dtype)
+    oh = oh * w_ref[:][None, :].astype(msg_ref.dtype)
     out_ref[0] = jax.lax.dot(
         oh, msg_ref[0], preferred_element_type=jnp.float32
     )
@@ -56,18 +56,20 @@ def _slot_reduce_call(
 ) -> jax.Array:
     B, Et, d = vals.shape
     nb = node_block
+    # rel/w ride as 1-D blocks (Mosaic requires the last two block dims be
+    # (8k, 128m) or match the array; a (1, Et) 2-D block is neither)
     out = pl.pallas_call(
         functools.partial(_reduce_kernel, node_block=nb),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, Et), lambda b: (b, 0)),
-            pl.BlockSpec((1, Et), lambda b: (b, 0)),
+            pl.BlockSpec((Et,), lambda b: (b,)),
+            pl.BlockSpec((Et,), lambda b: (b,)),
             pl.BlockSpec((1, Et, d), lambda b: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, nb, d), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, nb, d), jnp.float32),
         interpret=interpret,
-    )(rel_key, w, vals)
+    )(rel_key.reshape(-1), w.reshape(-1), vals)
     return out.reshape(B * nb, d)[:num_nodes_padded]
 
 

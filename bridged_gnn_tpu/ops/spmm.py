@@ -214,11 +214,17 @@ def spmm(
         w = (
             edge_weights.astype(x.dtype)
             if edge_weights is not None
-            else jnp.ones(adj.senders.shape[0], dtype=x.dtype)
+            else None
         )
         if adj.fast_fn is not None:
+            # w=None takes the unweighted fast path (no per-edge weight
+            # gather; the slot mask is baked into the layout)
             out = adj.fast_fn.spmm(x, w)
         else:
+            w = (
+                w if w is not None
+                else jnp.ones(adj.senders.shape[0], dtype=x.dtype)
+            )
             from bridged_gnn_tpu.ops.blocked_segment import (
                 segment_sum_blocked,
             )

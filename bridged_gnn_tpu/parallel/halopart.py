@@ -66,6 +66,14 @@ class HaloPartition(NamedTuple):
     num_shards: int
     num_nodes_padded_total: int  # n_dev * rows
     halo_rows_real: int          # Σ real halo entries (wire accounting)
+    # per-shard padded slot layouts (uniform static dims across shards)
+    # for the fused attention conv; dict of [n_dev, ...] int arrays
+    pl: dict
+    pd_tile: int                 # dst layout tile_e
+    pd_blocks: int               # dst layout num_blocks (rows/node_block)
+    ps_tile: int                 # src layout tile_e
+    ps_blocks: int               # src layout num_blocks (ext_len/node_block)
+    ext_len: int                 # rows + n_dev*h_pair
 
 
 def build_halo_partition(g: Graph, n_shards: int) -> HaloPartition:
@@ -148,6 +156,54 @@ def build_halo_partition(g: Graph, n_shards: int) -> HaloPartition:
     block_num_blocks = metas[0].num_blocks
     block_start = np.stack([m.block_start for m in metas])
 
+    # per-shard padded slot layouts (dst- and src-keyed) with uniform
+    # static dims across shards, for the fused attention conv
+    # (ops/fused_attention.py) inside the partition: the per-shard edge
+    # set is dst-local, so the whole fused layer needs no collectives
+    from bridged_gnn_tpu.ops.blocked_segment import _padded_layout_np
+
+    eid = np.arange(e_shard)
+
+    def shard_layouts(min_td, min_ts):
+        d_raw, s_raw, s2d = [], [], []
+        for q in range(n_shards):
+            d = _padded_layout_np(
+                out_r[q], out_s[q], eid, out_m[q], rows, node_block,
+                min_tile_e=min_td,
+            )
+            perm = np.argsort(out_s[q], kind="stable")
+            sr = _padded_layout_np(
+                out_s[q][perm], out_r[q][perm], eid[perm], out_m[q][perm],
+                ext_len, node_block, min_tile_e=min_ts,
+            )
+            pos_dst = np.zeros(e_shard, dtype=np.int32)
+            d_edge, d_mask = d[2].reshape(-1), d[3].reshape(-1)
+            pos_dst[d_edge[d_mask]] = np.nonzero(d_mask)[0].astype(np.int32)
+            s2d.append(pos_dst[sr[2].reshape(-1)])
+            d_raw.append(d)
+            s_raw.append(sr)
+        return d_raw, s_raw, s2d
+
+    d_raw, s_raw, _ = shard_layouts(0, 0)
+    pd_tile = max(a[4] for a in d_raw)
+    ps_tile = max(a[4] for a in s_raw)
+    d_raw, s_raw, s2d = shard_layouts(pd_tile, ps_tile)
+    pl = dict(
+        pd_other=np.stack([a[0].reshape(-1) for a in d_raw]),
+        pd_rel=np.stack([a[1].reshape(-1) for a in d_raw]),
+        pd_edge=np.stack([a[2].reshape(-1) for a in d_raw]),
+        pd_mask=np.stack([a[3].reshape(-1) for a in d_raw]),
+        ps_other=np.stack([a[0].reshape(-1) for a in s_raw]),
+        ps_rel=np.stack([a[1].reshape(-1) for a in s_raw]),
+        ps_edge=np.stack([a[2].reshape(-1) for a in s_raw]),
+        ps_mask=np.stack([a[3].reshape(-1) for a in s_raw]),
+        ps_from_dst=np.stack(s2d),
+    )
+    # flattened for leading-dim sharding (shard_map slices [n_dev*X] → [X])
+    pl = {k: v.reshape(-1) for k, v in pl.items()}
+    pd_blocks = d_raw[0][5]
+    ps_blocks = s_raw[0][5]
+
     return HaloPartition(
         senders_local=out_s.reshape(-1),
         receivers_local=out_r.reshape(-1),
@@ -166,6 +222,12 @@ def build_halo_partition(g: Graph, n_shards: int) -> HaloPartition:
         num_shards=n_shards,
         num_nodes_padded_total=n_total,
         halo_rows_real=halo_real,
+        pl=pl,
+        pd_tile=pd_tile,
+        pd_blocks=pd_blocks,
+        ps_tile=ps_tile,
+        ps_blocks=ps_blocks,
+        ext_len=ext_len,
     )
 
 
@@ -205,6 +267,47 @@ class HaloView(NamedTuple):
     block_node_block: int = 0
     block_max_edges: int = 0
     block_num_blocks: int = 0
+    # this shard's padded slot layouts (device slices of HaloPartition.pl)
+    pl: dict = None
+    pd_tile: int = 0
+    pd_blocks: int = 0
+    ps_tile: int = 0
+    ps_blocks: int = 0
+    ext_len: int = 0
+
+    def fused_ops(self):
+        """Local BlockedOps-alike (gather_slots + lay_dst) over this
+        shard's padded layouts — feeds ops/fused_attention.py; every
+        reduction is shard-local (destinations are owned rows)."""
+        from bridged_gnn_tpu.ops.blocked_segment import (
+            PaddedLayout,
+            make_slot_gather,
+        )
+
+        nb = self.block_node_block
+        lay_dst = PaddedLayout(
+            other_slot=self.pl["pd_other"],
+            rel_key=self.pl["pd_rel"].reshape(self.pd_blocks, self.pd_tile),
+            slot_edge=self.pl["pd_edge"],
+            slot_mask=self.pl["pd_mask"].astype(bool),
+            node_block=nb, tile_e=self.pd_tile,
+            num_blocks=self.pd_blocks, num_nodes_padded=self.rows,
+        )
+        lay_src = PaddedLayout(
+            other_slot=self.pl["ps_other"],
+            rel_key=self.pl["ps_rel"].reshape(self.ps_blocks, self.ps_tile),
+            slot_edge=self.pl["ps_edge"],
+            slot_mask=self.pl["ps_mask"].astype(bool),
+            node_block=nb, tile_e=self.ps_tile,
+            num_blocks=self.ps_blocks, num_nodes_padded=self.ext_len,
+        )
+        gather = make_slot_gather(lay_dst, lay_src, self.pl["ps_from_dst"])
+
+        class _LocalOps:
+            gather_slots = staticmethod(gather)
+
+        _LocalOps.lay_dst = lay_dst
+        return _LocalOps
 
     def segment_sum_local(self, msg: jax.Array) -> jax.Array:
         """[E_loc, D] → [rows, D] dst reduce, scatter-free (blocked)."""
@@ -285,7 +388,7 @@ def make_halo_ktgnn_train_step(
     tt_sh = tm_sh & ~cm_sh
 
     def device_loss(params, batch_stats, dropout_rng,
-                    sl, rl, em, sidx, smask, ce, nme, bstart,
+                    sl, rl, em, sidx, smask, ce, nme, bstart, pl,
                     x, y, nm, cm, tm, tt):
         halo = HaloView(
             senders_local=sl, receivers_local=rl, edge_mask=em,
@@ -296,6 +399,9 @@ def make_halo_ktgnn_train_step(
             block_node_block=part.block_node_block,
             block_max_edges=part.block_max_edges,
             block_num_blocks=part.block_num_blocks,
+            pl=pl, pd_tile=part.pd_tile, pd_blocks=part.pd_blocks,
+            ps_tile=part.ps_tile, ps_blocks=part.ps_blocks,
+            ext_len=part.ext_len,
         )
         gl = g.replace(
             x=x, y=y, node_mask=nm, central_mask=cm, train_mask=tm,
@@ -318,12 +424,12 @@ def make_halo_ktgnn_train_step(
         return loss, mutated["batch_stats"]
 
     def step(params, batch_stats, opt_state, dropout_rng,
-             sl, rl, em, sidx, smask, ce, nme, bstart,
+             sl, rl, em, sidx, smask, ce, nme, bstart, pl,
              x, y, nm, cm, tm, tt):
         (loss, new_bs), grads = jax.value_and_grad(
             device_loss, has_aux=True
         )(params, batch_stats, dropout_rng, sl, rl, em, sidx, smask,
-          ce, nme, bstart, x, y, nm, cm, tm, tt)
+          ce, nme, bstart, pl, x, y, nm, cm, tm, tt)
         # loss/stats are already psum'd inside device_loss, so grads of the
         # replicated params come out identical across shards — but each
         # shard only saw its own rows' contributions via the local segment
@@ -337,7 +443,7 @@ def make_halo_ktgnn_train_step(
     sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(rep, rep, rep, rep,
-                  rowp, rowp, rowp, rowp, rowp, rowp, rowp, rowp,
+                  rowp, rowp, rowp, rowp, rowp, rowp, rowp, rowp, rowp,
                   rowp, rowp, rowp, rowp, rowp, rowp),
         out_specs=(rep, rep, rep, rep),
         # check_vma stays ON (as in edgeshard): replicated-param gradients
@@ -352,6 +458,7 @@ def make_halo_ktgnn_train_step(
     ce = jnp.asarray(part.central_ext)
     nme = jnp.asarray(part.node_mask_ext)
     bstart = jnp.asarray(part.block_start)
+    pl_j = {k: jnp.asarray(v) for k, v in part.pl.items()}
     arrays = tuple(jnp.asarray(a) for a in
                    (x_sh, y_sh, nm_sh, cm_sh, tm_sh, tt_sh))
 
@@ -359,7 +466,7 @@ def make_halo_ktgnn_train_step(
     def train_step(params, batch_stats, opt_state, dropout_rng):
         return sharded(
             params, batch_stats, opt_state, dropout_rng,
-            sl, rl, em, sidx, smask, ce, nme, bstart, *arrays,
+            sl, rl, em, sidx, smask, ce, nme, bstart, pl_j, *arrays,
         )
 
     return train_step, part

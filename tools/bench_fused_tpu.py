@@ -60,6 +60,8 @@ def timeit(f, *args, iters=20, warmup=3):
 
 
 # --- 1. production SpMM fwd: XLA vs Pallas reduce
+spmm_u = jax.jit(lambda x: ops.spmm(x))
+res["spmm_xla_unweighted_fwd_ms"] = round(timeit(spmm_u, x), 3)
 spmm_j = jax.jit(lambda x: ops.spmm(x, w))
 res["spmm_xla_fwd_ms"] = round(timeit(spmm_j, x), 3)
 
