@@ -65,12 +65,18 @@ def adapted_attention(
     valid = lay.slot_mask.reshape(B, Et)
     if u1_dst is None:
         u1_dst, u2_dst = u1, u2
+    dch = u1.shape[-1]
 
-    # two row gathers — the only gather-engine traffic in the layer
-    m1 = ops.gather_slots(u1)                       # [B, Et, D]
-    m2 = ops.gather_slots(u2)
-    d1 = padded_dst_expand(lay, u1_dst)             # [B, Et, D] via MXU
-    d2 = padded_dst_expand(lay, u2_dst)
+    # ONE row gather of both branches — the only gather-engine traffic in
+    # the layer. The engine is issue-rate-bound (~474 Mrows/s on v5e
+    # regardless of row width, DESIGN.md §2), so gathering the
+    # concatenated [N, 2D] rows costs half of two separate gathers.
+    m = ops.gather_slots(jnp.concatenate([u1, u2], axis=-1))
+    m1, m2 = m[..., :dch], m[..., dch:]             # [B, Et, D] each
+    d = padded_dst_expand(
+        lay, jnp.concatenate([u1_dst, u2_dst], axis=-1)
+    )
+    d1, d2 = d[..., :dch], d[..., dch:]
 
     h1 = jax.nn.leaky_relu(m1 + d1, negative_slope)
     h2 = jax.nn.leaky_relu(m2 + d2, negative_slope)

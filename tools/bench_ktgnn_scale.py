@@ -1,0 +1,105 @@
+"""Full KT-GNN train-step epoch time at production scale (one chip).
+
+Synthetic bridged graph (same generator as round-1's scale runs: random
+edges, half central), blocked adjacency -> padded layouts -> fused
+attention conv. Measures jitted train-step wall time (fwd+bwd+adam) and
+edges/s; compares against the round-1 numbers in
+results_ktgnn_scale_tpu.json (unfused: 5.98 s/epoch at N=131072).
+
+Usage: nohup python tools/bench_ktgnn_scale.py out.json > log 2>&1 &
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+out_path = sys.argv[1] if len(sys.argv) > 1 else "results_ktgnn_scale_r2.json"
+repo = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, repo)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from bridged_gnn_tpu.graph import build_graph  # noqa: E402
+from bridged_gnn_tpu.nn.ktgnn import KTGNN  # noqa: E402
+from bridged_gnn_tpu.ops.spmm import adjacency_from_graph  # noqa: E402
+from bridged_gnn_tpu.train.optim import torch_adam  # noqa: E402
+from bridged_gnn_tpu.train.stage2 import kl_batchmean, masked_nll  # noqa: E402
+
+res = {"platform": jax.devices()[0].platform}
+rng = np.random.default_rng(0)
+
+for n_nodes in (65536, 131072):
+    e = n_nodes * 17
+    s = rng.integers(0, n_nodes, size=e).astype(np.int64)
+    r = rng.integers(0, n_nodes, size=e).astype(np.int64)
+    x = rng.normal(size=(n_nodes, 128)).astype(np.float32)
+    y = rng.integers(0, 8, size=n_nodes).astype(np.int64)
+    central = np.zeros(n_nodes, bool)
+    central[: n_nodes // 2] = True
+    train = rng.random(n_nodes) < 0.6
+    g = build_graph(
+        x, np.stack([s, r]), y=y, train_mask=train, central_mask=central
+    )
+    adj = adjacency_from_graph(g, method="blocked")
+    assert adj.fast_fn is not None, "blocked ops unavailable (skew)"
+    model = KTGNN(num_classes=8, layer_num=2, hidden=64)
+    variables = model.init(jax.random.PRNGKey(0), g, adj, False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = torch_adam(1e-3, weight_decay=5e-4)
+    opt_state = tx.init(params)
+    tt = g.train_mask & ~g.central_mask
+
+    def loss_fn(params, batch_stats, drop):
+        outs, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            g, adj, True, rngs={"dropout": drop},
+            mutable=["batch_stats"],
+        )
+        lp_s, lp_t, lp_that, _ = outs
+        loss = (
+            2.0 * masked_nll(lp_s, g.y, g.train_mask)
+            + masked_nll(lp_t, g.y, tt)
+            + masked_nll(lp_that, g.y, tt)
+        ) / 4.0 + 1.0 * kl_batchmean(lp_that, lp_t, g.node_mask)
+        return loss, mut["batch_stats"]
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, key):
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), bs, opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    params, batch_stats, opt_state, loss = step(
+        params, batch_stats, opt_state, key
+    )
+    jax.block_until_ready(loss)
+    compile_s = time.perf_counter() - t0
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jax.random.fold_in(key, i)
+        )
+    jax.block_until_ready(loss)
+    epoch_s = (time.perf_counter() - t0) / iters
+    edges = int(np.asarray(g.edge_mask).sum())
+    res[str(n_nodes)] = dict(
+        epoch_s=round(epoch_s, 4),
+        compile_s=round(compile_s, 1),
+        edges=edges,
+        edges_per_s=round(edges / epoch_s),
+        loss=float(loss),
+    )
+    print(json.dumps(res[str(n_nodes)]))
+
+with open(out_path, "w") as f:
+    json.dump(res, f, indent=1)
+print(json.dumps(res))
