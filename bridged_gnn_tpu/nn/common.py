@@ -176,6 +176,30 @@ def torch_dense(features: int, use_bias: bool = True, name: str = None):
     return TorchLinear(features, use_bias=use_bias, name=name)
 
 
+class ParamKernel(nn.Module):
+    """Returns a TorchLinear-initialized kernel as a raw array.
+
+    Param path and init are identical to ``TorchLinear(features,
+    use_bias=False)`` (``<name>/kernel``, shape [fan_in, features],
+    U(±1/√fan_in)), so checkpoints transfer 1:1 — used where an op needs
+    the projection *vector* itself (the custom-VJP fused attention's
+    GATv2 logit projections) rather than a module call."""
+
+    fan_in: int
+    features: int = 1
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        bound = 1.0 / np.sqrt(self.fan_in)
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return self.param(
+            "kernel", kernel_init, (self.fan_in, self.features)
+        )
+
+
 class MLPBackbone(nn.Module):
     """2-layer MLP backbone with optional PairNorm between layers.
 

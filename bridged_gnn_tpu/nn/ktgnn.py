@@ -93,13 +93,18 @@ class AdaptedConv(nn.Module):
             and not (self.aggregate_dense and adj.use_dense)
         )
         if fused_ok:
-            from bridged_gnn_tpu.ops.fused_attention import adapted_attention
+            from bridged_gnn_tpu.nn.common import ParamKernel
+            from bridged_gnn_tpu.ops.fused_attention import (
+                make_adapted_attention,
+            )
 
-            out = adapted_attention(
-                adj.fast_fn, u_t2s, u_s2t, central_mask,
-                torch_dense(1, use_bias=False, name="a_f_t2s"),
-                torch_dense(1, use_bias=False, name="a_f_s2t"),
-                negative_slope=self.negative_slope,
+            a1 = ParamKernel(self.out_channels, name="a_f_t2s")()[:, 0]
+            a2 = ParamKernel(self.out_channels, name="a_f_s2t")()[:, 0]
+            out = make_adapted_attention(
+                adj.fast_fn, self.negative_slope
+            )(
+                u_t2s, u_s2t, u_t2s, u_s2t,
+                central_mask.astype(jnp.float32), a1, a2,
             )
             if self.root_weight:
                 out = out + torch_dense(
@@ -227,6 +232,10 @@ class AdaptedConv(nn.Module):
         # padded slot layouts — senders index x_ext, destinations index
         # owned rows; fall back to the blocked segment ops otherwise.
         if self.use_fused and halo.pl is not None:
+            # autodiff fused path here: the hand-written custom VJP's
+            # device-local cotangents defeat shard_map's replication
+            # (VMA) inference for the replicated a_f params; autodiff's
+            # transposes produce the psums the checker can verify
             from bridged_gnn_tpu.ops.fused_attention import (
                 adapted_attention,
             )

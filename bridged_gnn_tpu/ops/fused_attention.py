@@ -40,6 +40,148 @@ from bridged_gnn_tpu.ops.blocked_segment import (
 _NEG = -1e30
 
 
+def make_adapted_attention(ops: BlockedOps, negative_slope: float = 0.1):
+    """Custom-VJP fused attention conv with a recompute backward.
+
+    Same math as :func:`adapted_attention` but the backward pass is
+    hand-derived: residuals are only the *inputs* plus the [B, Et] f32
+    attention weights — the [B, Et, D]-sized gathered messages and
+    pre-activations are re-gathered/recomputed in backward instead of
+    being stored (and re-read from HBM) as autodiff residuals. One extra
+    row gather buys the elimination of ~2 GB of residual traffic per
+    layer at bench scale.
+
+    Returned callable:
+        fn(u1, u2, u1_dst, u2_dst, central_f32, a1, a2) -> [N_out, D]
+    where ``a1``/``a2`` are the GATv2 logit projection vectors [D] and
+    ``central_f32`` is the destination-domain flag as float (no grad).
+    Gradients are defined for every other argument; pass ``u1 is u1_dst``
+    on a single device and JAX sums the two cotangents.
+    """
+    lay = ops.lay_dst
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    valid = lay.slot_mask.reshape(B, Et)
+    slope = negative_slope
+
+    def _expand_scalar(v):            # [B, nb] -> [B, Et] via MXU
+        return padded_block_expand(lay, v[:, :, None])[..., 0]
+
+    def _pad_blocks(u):               # [N_out, D] -> [B, nb, D]
+        n_full = B * nb
+        u_pad = jnp.pad(u, ((0, n_full - u.shape[0]), (0, 0)))
+        return u_pad.reshape(B, nb, -1)
+
+    def _forward(u1, u2, u1_dst, u2_dst, central, a1, a2):
+        dch = u1.shape[-1]
+        m = ops.gather_slots(jnp.concatenate([u1, u2], axis=-1))
+        m1, m2 = m[..., :dch], m[..., dch:]
+        d = padded_dst_expand(
+            lay, jnp.concatenate([u1_dst, u2_dst], axis=-1)
+        )
+        d1, d2 = d[..., :dch], d[..., dch:]
+        h1 = jax.nn.leaky_relu(m1 + d1, slope)
+        h2 = jax.nn.leaky_relu(m2 + d2, slope)
+        l1 = jnp.einsum("bed,d->be", h1, a1.astype(h1.dtype))
+        l2 = jnp.einsum("bed,d->be", h2, a2.astype(h2.dtype))
+        n_full = B * nb
+        c_pad = jnp.pad(central, (0, n_full - central.shape[0]))
+        c_slot = _expand_scalar(c_pad.reshape(B, nb).astype(jnp.float32))
+        is_c = c_slot > 0.5
+        lm = jnp.where(
+            valid, jnp.where(is_c, l1, l2).astype(jnp.float32), _NEG
+        )
+        ohb = lay.rel_key[:, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, nb, 1), 1
+        )
+        mx = jnp.max(jnp.where(ohb, lm[:, None, :], _NEG), axis=2)
+        mx_slot = _expand_scalar(mx)
+        ex = jnp.where(valid, jnp.exp(lm - mx_slot), 0.0)
+        denom = jax.lax.dot_general(
+            ohb.astype(jnp.float32), ex[:, :, None],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        den_slot = _expand_scalar(denom[..., 0])
+        alpha = ex / jnp.where(den_slot == 0, 1.0, den_slot)
+        w1 = (alpha * c_slot).astype(u1.dtype)
+        w2 = (alpha * (1.0 - c_slot)).astype(u1.dtype)
+        out = padded_slot_reduce(lay, m1, w1) \
+            + padded_slot_reduce(lay, m2, w2)
+        return out.astype(u1.dtype), (alpha, c_slot)
+
+    @jax.custom_vjp
+    def fused(u1, u2, u1_dst, u2_dst, central, a1, a2):
+        return _forward(u1, u2, u1_dst, u2_dst, central, a1, a2)[0]
+
+    def fwd(u1, u2, u1_dst, u2_dst, central, a1, a2):
+        out, (alpha, c_slot) = _forward(
+            u1, u2, u1_dst, u2_dst, central, a1, a2
+        )
+        return out, (u1, u2, u1_dst, u2_dst, central, a1, a2, alpha, c_slot)
+
+    def bwd(res, dout):
+        u1, u2, u1_dst, u2_dst, central, a1, a2, alpha, c_slot = res
+        dch = u1.shape[-1]
+        dt = u1.dtype
+        # recompute the slot tensors (one gather + one expand matmul)
+        u_cat = jnp.concatenate([u1, u2], axis=-1)
+        m, gather_vjp = jax.vjp(ops.gather_slots, u_cat)
+        m1, m2 = m[..., :dch], m[..., dch:]
+        d = padded_dst_expand(
+            lay, jnp.concatenate([u1_dst, u2_dst], axis=-1)
+        )
+        z1 = m1 + d[..., :dch]
+        z2 = m2 + d[..., dch:]
+        is_c = c_slot > 0.5
+
+        dout = dout.astype(jnp.float32)
+        dout_slot = padded_block_expand(lay, _pad_blocks(dout))  # [B,Et,D]
+        msel = jnp.where(is_c[..., None], m1, m2)
+        # aggregation: out = Σ α·msel
+        dalpha = jnp.einsum(
+            "bed,bed->be", msel.astype(jnp.float32), dout_slot
+        )
+        dm1 = (alpha * c_slot)[..., None] * dout_slot
+        dm2 = (alpha * (1.0 - c_slot))[..., None] * dout_slot
+        # softmax jacobian: dl = α·dα − α·Σ_seg(α·dα)
+        t = alpha * dalpha
+        seg = padded_slot_reduce(lay, t.reshape(B, Et, 1))  # [N_out, 1]
+        s_slot = _expand_scalar(_pad_blocks(seg)[..., 0])
+        dlm = t - alpha * s_slot
+        dl1 = dlm * c_slot
+        dl2 = dlm * (1.0 - c_slot)
+        # logits: l = h·a, h = leaky_relu(z)
+        h1 = jax.nn.leaky_relu(z1, slope).astype(jnp.float32)
+        h2 = jax.nn.leaky_relu(z2, slope).astype(jnp.float32)
+        da1 = jnp.einsum("bed,be->d", h1, dl1)
+        da2 = jnp.einsum("bed,be->d", h2, dl2)
+        lrelu_g1 = jnp.where(z1 > 0, 1.0, slope).astype(jnp.float32)
+        lrelu_g2 = jnp.where(z2 > 0, 1.0, slope).astype(jnp.float32)
+        dz1 = dl1[..., None] * a1.astype(jnp.float32) * lrelu_g1
+        dz2 = dl2[..., None] * a2.astype(jnp.float32) * lrelu_g2
+        dm1 = (dm1 + dz1).astype(dt)
+        dm2 = (dm2 + dz2).astype(dt)
+        # dst-side rows: d = one-hot expand of u_dst ⇒ transpose = reduce
+        dd = jnp.concatenate([dz1, dz2], axis=-1).astype(dt)
+        du_dst = padded_slot_reduce(lay, dd)
+        du1_dst = du_dst[: u1_dst.shape[0], :dch].astype(dt)
+        du2_dst = du_dst[: u2_dst.shape[0], dch:].astype(dt)
+        # src-side rows via the gather's own scatter-free VJP
+        (du_cat,) = gather_vjp(
+            jnp.concatenate([dm1, dm2], axis=-1)
+        )
+        du1 = du_cat[:, :dch].astype(dt)
+        du2 = du_cat[:, dch:].astype(dt)
+        return (
+            du1, du2, du1_dst, du2_dst,
+            jnp.zeros_like(central), da1.astype(a1.dtype),
+            da2.astype(a2.dtype),
+        )
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
 def adapted_attention(
     ops: BlockedOps,
     u1: jax.Array,            # [N_in, D] messages when dst is central (t2s)

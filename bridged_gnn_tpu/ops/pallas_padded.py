@@ -31,14 +31,20 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _reduce_kernel(rel_ref, w_ref, msg_ref, out_ref, *, node_block):
-    rel = rel_ref[:]                                      # [Et] (1-D block)
+    # rel/w arrive as [Et/128, 128] 2-D tiles; the one-hot compare runs in
+    # 3-D and the reduce contracts BOTH slot dims — no in-kernel reshapes
+    # across the lane dim, every block shape divisible by (8, 128)
+    rel = rel_ref[0]                                      # [Et128, 128]
+    et128 = rel.shape[0]
     rows = jax.lax.broadcasted_iota(
-        jnp.int32, (node_block, rel.shape[0]), 0
+        jnp.int32, (node_block, et128, 128), 0
     )
-    oh = (rows == rel[None, :]).astype(msg_ref.dtype)
-    oh = oh * w_ref[:][None, :].astype(msg_ref.dtype)
-    out_ref[0] = jax.lax.dot(
-        oh, msg_ref[0], preferred_element_type=jnp.float32
+    oh = (rows == rel[None, :, :]).astype(msg_ref.dtype)
+    oh = oh * w_ref[0][None, :, :].astype(msg_ref.dtype)
+    out_ref[0] = jax.lax.dot_general(
+        oh, msg_ref[0],
+        (((1, 2), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -47,7 +53,7 @@ def _reduce_kernel(rel_ref, w_ref, msg_ref, out_ref, *, node_block):
     static_argnames=("node_block", "num_nodes_padded", "interpret"),
 )
 def _slot_reduce_call(
-    rel_key: jax.Array,   # [B, Et] int32
+    rel_key: jax.Array,   # [B, Et] int32 (Et a multiple of 1024)
     w: jax.Array,         # [B, Et] weights (mask already folded in)
     vals: jax.Array,      # [B, Et, D]
     node_block: int,
@@ -56,20 +62,23 @@ def _slot_reduce_call(
 ) -> jax.Array:
     B, Et, d = vals.shape
     nb = node_block
-    # rel/w ride as 1-D blocks (Mosaic requires the last two block dims be
-    # (8k, 128m) or match the array; a (1, Et) 2-D block is neither)
+    et128 = Et // 128
     out = pl.pallas_call(
         functools.partial(_reduce_kernel, node_block=nb),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((Et,), lambda b: (b,)),
-            pl.BlockSpec((Et,), lambda b: (b,)),
-            pl.BlockSpec((1, Et, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, et128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, et128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, et128, 128, d), lambda b: (b, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, nb, d), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, nb, d), jnp.float32),
         interpret=interpret,
-    )(rel_key.reshape(-1), w.reshape(-1), vals)
+    )(
+        rel_key.reshape(B, et128, 128),
+        w.reshape(B, et128, 128),
+        vals.reshape(B, et128, 128, d),
+    )
     return out.reshape(B * nb, d)[:num_nodes_padded]
 
 
@@ -86,14 +95,26 @@ def fits_vmem(tile_e: int, node_block: int, d: int, itemsize: int) -> bool:
 def slot_reduce_pallas(
     lay, vals: jax.Array, w_slot=None, interpret: bool = False
 ) -> jax.Array:
-    """Drop-in twin of blocked_segment.padded_slot_reduce (Mosaic)."""
+    """Drop-in twin of blocked_segment.padded_slot_reduce (Mosaic).
+
+    Slots are padded up to a multiple of 1024 so every kernel block tiles
+    as (8k, 128m); pad slots carry rel=node_block (no one-hot hit) and
+    weight 0."""
     B, Et = lay.num_blocks, lay.tile_e
     vals = vals.reshape(B, Et, -1)
     w = lay.slot_mask.reshape(B, Et).astype(vals.dtype)
     if w_slot is not None:
         w = w * w_slot.reshape(B, Et).astype(vals.dtype)
+    rel = lay.rel_key
+    pad = (-Et) % 1024
+    if pad:
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+        rel = jnp.pad(
+            rel, ((0, 0), (0, pad)), constant_values=lay.node_block
+        )
     return _slot_reduce_call(
-        lay.rel_key, w, vals, lay.node_block, lay.num_nodes_padded,
+        rel, w, vals, lay.node_block, lay.num_nodes_padded,
         interpret=interpret,
     )
 

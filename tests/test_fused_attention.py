@@ -138,3 +138,142 @@ def test_adapted_conv_fused_matches_unfused(rng):
             np.asarray(lf), np.asarray(lu), rtol=1e-3, atol=1e-5,
             err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+@pytest.mark.parametrize("node_block", [16, 64])
+def test_fused_attention_custom_vjp_matches_autodiff(rng, node_block):
+    """make_adapted_attention (hand-derived recompute backward) must match
+    the autodiff fused path exactly: forward and every gradient."""
+    from bridged_gnn_tpu.ops.fused_attention import make_adapted_attention
+
+    n, n_pad = 50, 64
+    s, r, em = _random_graph(rng)
+    u1 = jnp.asarray(rng.normal(size=(n_pad, 8)).astype(np.float32))
+    u2 = jnp.asarray(rng.normal(size=(n_pad, 8)).astype(np.float32))
+    a1 = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    central = np.zeros(n_pad, bool)
+    central[: n // 2] = True
+    central_f = jnp.asarray(central.astype(np.float32))
+    central_j = jnp.asarray(central)
+    cot = jnp.asarray(rng.normal(size=(n_pad, 8)).astype(np.float32))
+    ops = make_blocked_ops(s, r, em, n_pad, node_block=node_block)
+    fused_cv = make_adapted_attention(ops, negative_slope=0.1)
+
+    def cvjp(u1, u2, a1, a2):
+        return fused_cv(u1, u2, u1, u2, central_f, a1, a2)
+
+    def autodiff(u1, u2, a1, a2):
+        return adapted_attention(
+            ops, u1, u2, central_j,
+            lambda h: (h @ a1)[..., None],
+            lambda h: (h @ a2)[..., None],
+            negative_slope=0.1,
+        )
+
+    got = cvjp(u1, u2, a1, a2)
+    want = autodiff(u1, u2, a1, a2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    def loss(fn):
+        return lambda *args: jnp.sum(fn(*args) * cot)
+
+    g_got = jax.grad(loss(cvjp), argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    g_want = jax.grad(loss(autodiff), argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    for gg, gw, name in zip(g_got, g_want, ["u1", "u2", "a1", "a2"]):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), rtol=1e-4, atol=1e-5,
+            err_msg=f"cvjp grad mismatch: {name}",
+        )
+
+
+def test_fused_attention_custom_vjp_separate_dst(rng):
+    """Halo shape: senders index an extended array, destinations index a
+    prefix — grads must split correctly between the two."""
+    from bridged_gnn_tpu.ops.fused_attention import make_adapted_attention
+
+    n_out, ext = 32, 48          # 32 owned rows + 16 halo rows
+    e, e_pad = 200, 256
+    r = np.sort(rng.integers(0, n_out, size=e)).astype(np.int32)
+    s = rng.integers(0, ext, size=e).astype(np.int32)
+    em = np.zeros(e_pad, bool)
+    em[:e] = True
+    senders = np.zeros(e_pad, np.int32)
+    receivers = np.full(e_pad, n_out - 1, np.int32)
+    senders[:e], receivers[:e] = s, r
+    order = np.argsort(receivers, kind="stable")
+    senders, receivers, em = senders[order], receivers[order], em[order]
+
+    from bridged_gnn_tpu.ops.blocked_segment import (
+        _padded_layout_np,
+        _layout_from_np,
+        make_slot_gather,
+    )
+
+    eid = np.arange(e_pad)
+    d_np = _padded_layout_np(receivers, senders, eid, em, n_out, 16)
+    lay_dst = _layout_from_np(d_np, n_out, 16)
+    perm = np.argsort(senders, kind="stable")
+    s_np_l = _padded_layout_np(
+        senders[perm], receivers[perm], eid[perm], em[perm], ext, 16
+    )
+    lay_src = _layout_from_np(s_np_l, ext, 16)
+    pos_dst = np.zeros(e_pad, np.int32)
+    d_edge, d_mask = d_np[2].reshape(-1), d_np[3].reshape(-1)
+    pos_dst[d_edge[d_mask]] = np.nonzero(d_mask)[0].astype(np.int32)
+    src_from_dst = jnp.asarray(pos_dst[s_np_l[2].reshape(-1)])
+
+    class _Ops:
+        gather_slots = staticmethod(
+            make_slot_gather(lay_dst, lay_src, src_from_dst)
+        )
+
+    _Ops.lay_dst = lay_dst
+
+    u1 = jnp.asarray(rng.normal(size=(ext, 8)).astype(np.float32))
+    u2 = jnp.asarray(rng.normal(size=(ext, 8)).astype(np.float32))
+    a1 = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    central = (rng.random(n_out) < 0.5).astype(np.float32)
+    central_f = jnp.asarray(central)
+    cot = jnp.asarray(rng.normal(size=(n_out, 8)).astype(np.float32))
+
+    from bridged_gnn_tpu.ops.fused_attention import (
+        adapted_attention,
+        make_adapted_attention,
+    )
+
+    fused_cv = make_adapted_attention(_Ops, negative_slope=0.1)
+
+    def cvjp(u1, u2, a1, a2):
+        return fused_cv(
+            u1, u2, u1[:n_out], u2[:n_out], central_f, a1, a2
+        )
+
+    def autodiff(u1, u2, a1, a2):
+        return adapted_attention(
+            _Ops, u1, u2, jnp.asarray(central.astype(bool)),
+            lambda h: (h @ a1)[..., None],
+            lambda h: (h @ a2)[..., None],
+            negative_slope=0.1,
+            u1_dst=u1[:n_out], u2_dst=u2[:n_out],
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(cvjp(u1, u2, a1, a2)),
+        np.asarray(autodiff(u1, u2, a1, a2)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+    def loss(fn):
+        return lambda *args: jnp.sum(fn(*args) * cot)
+
+    g_got = jax.grad(loss(cvjp), argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    g_want = jax.grad(loss(autodiff), argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    for gg, gw, name in zip(g_got, g_want, ["u1", "u2", "a1", "a2"]):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), rtol=1e-4, atol=1e-5,
+            err_msg=f"separate-dst grad mismatch: {name}",
+        )

@@ -151,6 +151,28 @@ ugrad = jax.jit(jax.grad(loss_of(unfused), argnums=(0, 1)))
 res["attn_fused_fwdbwd_ms"] = round(timeit(fgrad, u1, u2, iters=10), 3)
 res["attn_unfused_fwdbwd_ms"] = round(timeit(ugrad, u1, u2, iters=10), 3)
 
+# --- 3b. hand-derived custom-VJP fused attention (recompute backward)
+from bridged_gnn_tpu.ops.fused_attention import make_adapted_attention  # noqa: E402
+
+central_f = central.astype(jnp.float32)
+fused_cv = make_adapted_attention(ops)
+
+
+def fused_cvjp(u1, u2):
+    return fused_cv(u1, u2, u1, u2, central_f, a1, a2)
+
+
+cv_j = jax.jit(fused_cvjp)
+res["attn_cvjp_fwd_ms"] = round(timeit(cv_j, u1, u2, iters=10), 3)
+ok = np.allclose(
+    np.asarray(cv_j(u1, u2), np.float32),
+    np.asarray(fused_j(u1, u2), np.float32),
+    rtol=5e-2, atol=5e-2,
+)
+res["attn_cvjp_matches"] = bool(ok)
+cvgrad = jax.jit(jax.grad(loss_of(fused_cvjp), argnums=(0, 1)))
+res["attn_cvjp_fwdbwd_ms"] = round(timeit(cvgrad, u1, u2, iters=10), 3)
+
 # --- 4. pair_sum custom VJP compile check (VERDICT r1 item 7)
 try:
     ps_grad = jax.jit(
