@@ -33,6 +33,18 @@ def gcn_norm_weights(adj: Adjacency) -> jax.Array:
     return jnp.where(adj.edge_mask, w, 0.0)
 
 
+def row_norm_weights(adj: Adjacency) -> jax.Array:
+    """Row (random-walk) normalization weights per edge: 1/d_v.
+
+    Mirror of reference ``adj_norm(norm='row')``
+    (models/backbones.py:521-539 — every call site there is commented
+    out, so no reference model reaches it; provided for API parity).
+    Zero-degree rows get weight 0, matching the masked_fill there.
+    """
+    inv = jnp.where(adj.in_degree > 0, 1.0 / jnp.maximum(adj.in_degree, 1.0), 0.0)
+    return jnp.where(adj.edge_mask, inv[adj.receivers], 0.0)
+
+
 class GCNConv(nn.Module):
     out_channels: int
 

@@ -48,9 +48,11 @@ class AdaptedConv(nn.Module):
     aggregate_dense: bool = True  # use MXU dense path when adj has dense
     axis_name: Optional[str] = None  # mesh axis for edge-sharded SPMD
     # fused attention (ops/fused_attention.py): logits + segment softmax +
-    # aggregation from TWO row gathers in the padded slot layout; used when
+    # aggregation from ONE row gather in the padded slot layout; used when
     # the adjacency carries blocked ops and the dense path doesn't apply
     use_fused: bool = True
+    # opt-in memory-lean fused backward (recompute instead of residuals)
+    fused_recompute_bwd: bool = False
 
     @nn.compact
     def __call__(
@@ -93,19 +95,36 @@ class AdaptedConv(nn.Module):
             and not (self.aggregate_dense and adj.use_dense)
         )
         if fused_ok:
-            from bridged_gnn_tpu.nn.common import ParamKernel
-            from bridged_gnn_tpu.ops.fused_attention import (
-                make_adapted_attention,
-            )
+            if self.fused_recompute_bwd:
+                # memory-lean variant: hand-derived recompute backward —
+                # ~2 GB less residual traffic per layer at bench scale but
+                # measured ~19% slower fwd+bwd than autodiff
+                # (results_fused_tpu.json); opt in when activations don't
+                # fit
+                from bridged_gnn_tpu.nn.common import ParamKernel
+                from bridged_gnn_tpu.ops.fused_attention import (
+                    make_adapted_attention,
+                )
 
-            a1 = ParamKernel(self.out_channels, name="a_f_t2s")()[:, 0]
-            a2 = ParamKernel(self.out_channels, name="a_f_s2t")()[:, 0]
-            out = make_adapted_attention(
-                adj.fast_fn, self.negative_slope
-            )(
-                u_t2s, u_s2t, u_t2s, u_s2t,
-                central_mask.astype(jnp.float32), a1, a2,
-            )
+                a1 = ParamKernel(self.out_channels, name="a_f_t2s")()[:, 0]
+                a2 = ParamKernel(self.out_channels, name="a_f_s2t")()[:, 0]
+                out = make_adapted_attention(
+                    adj.fast_fn, self.negative_slope
+                )(
+                    u_t2s, u_s2t, u_t2s, u_s2t,
+                    central_mask.astype(jnp.float32), a1, a2,
+                )
+            else:
+                from bridged_gnn_tpu.ops.fused_attention import (
+                    adapted_attention,
+                )
+
+                out = adapted_attention(
+                    adj.fast_fn, u_t2s, u_s2t, central_mask,
+                    torch_dense(1, use_bias=False, name="a_f_t2s"),
+                    torch_dense(1, use_bias=False, name="a_f_s2t"),
+                    negative_slope=self.negative_slope,
+                )
             if self.root_weight:
                 out = out + torch_dense(
                     self.out_channels, use_bias=False, name="lin_r"
@@ -115,12 +134,17 @@ class AdaptedConv(nn.Module):
         # --- GATv2 attention per edge, branch chosen by destination domain
         s, r, em = adj.senders, adj.receivers, adj.edge_mask
         dst_central = central_mask[r]
-        e_t2s = nn.leaky_relu(
-            u_t2s[s] + u_t2s[r], negative_slope=self.negative_slope
-        )
-        e_s2t = nn.leaky_relu(
-            u_s2t[s] + u_s2t[r], negative_slope=self.negative_slope
-        )
+        if adj.fast_fn is not None and self.axis_name is None:
+            # scatter-free endpoint sums (custom VJP, VERDICT r1 item 7 —
+            # its backward compiles on-chip again); padded edges come out
+            # 0, which the masked segment softmax ignores
+            pair1 = adj.fast_fn.pair_sum(u_t2s)
+            pair2 = adj.fast_fn.pair_sum(u_s2t)
+        else:
+            pair1 = u_t2s[s] + u_t2s[r]
+            pair2 = u_s2t[s] + u_s2t[r]
+        e_t2s = nn.leaky_relu(pair1, negative_slope=self.negative_slope)
+        e_s2t = nn.leaky_relu(pair2, negative_slope=self.negative_slope)
         logit_t2s = torch_dense(1, use_bias=False, name="a_f_t2s")(e_t2s)
         logit_s2t = torch_dense(1, use_bias=False, name="a_f_s2t")(e_s2t)
         logits = jnp.where(dst_central[:, None], logit_t2s, logit_s2t)[:, 0]

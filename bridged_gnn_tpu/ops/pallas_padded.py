@@ -30,22 +30,30 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _reduce_kernel(rel_ref, w_ref, msg_ref, out_ref, *, node_block):
-    # rel/w arrive as [Et/128, 128] 2-D tiles; the one-hot compare runs in
-    # 3-D and the reduce contracts BOTH slot dims — no in-kernel reshapes
-    # across the lane dim, every block shape divisible by (8, 128)
-    rel = rel_ref[0]                                      # [Et128, 128]
-    et128 = rel.shape[0]
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, (node_block, et128, 128), 0
-    )
-    oh = (rows == rel[None, :, :]).astype(msg_ref.dtype)
-    oh = oh * w_ref[0][None, :, :].astype(msg_ref.dtype)
-    out_ref[0] = jax.lax.dot_general(
-        oh, msg_ref[0],
-        (((1, 2), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+def _reduce_kernel(rel_ref, w_ref, msg_ref, out_ref, acc, *, node_block):
+    # rel/w arrive as [Et/128, 128] 2-D tiles (every block shape
+    # (8,128)-divisible). Mosaic's matmul needs a single contracting dim
+    # and no cross-lane reshapes, so the reduce runs as a fori_loop of
+    # [nb, 128] x [128, D] matmuls (128-wide one-hot slices) accumulating
+    # into VMEM scratch.
+    et128 = rel_ref.shape[1]
+    nb = node_block
+    acc[...] = jnp.zeros_like(acc)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
+
+    def body(ci, _):
+        rel_c = rel_ref[0, pl.ds(ci, 1)]                  # [1, 128]
+        w_c = w_ref[0, pl.ds(ci, 1)]                      # [1, 128]
+        oh = (rows == rel_c).astype(msg_ref.dtype)        # [nb, 128]
+        oh = oh * w_c.astype(msg_ref.dtype)
+        msg_c = msg_ref[0, pl.ds(ci, 1)][0]               # [128, D]
+        acc[...] += jax.lax.dot(
+            oh, msg_c, preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, et128, body, 0)
+    out_ref[0] = acc[...]
 
 
 @functools.partial(
@@ -73,6 +81,7 @@ def _slot_reduce_call(
         ],
         out_specs=pl.BlockSpec((1, nb, d), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, nb, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nb, d), jnp.float32)],
         interpret=interpret,
     )(
         rel_key.reshape(B, et128, 128),

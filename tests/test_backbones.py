@@ -60,3 +60,30 @@ def test_stage1_gnn_backbone_trains(data):
     )
     res = train_adversarial(src, tar, cfg)
     assert res["best"]["epoch"] > 0
+
+
+def test_row_norm_weights(rng):
+    """row_norm_weights = 1/deg(dst) on real edges (reference
+    adj_norm(norm='row'), models/backbones.py:521-539)."""
+    import numpy as np
+
+    from bridged_gnn_tpu.graph import build_graph
+    from bridged_gnn_tpu.nn.backbones import row_norm_weights
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    n, e = 20, 60
+    s = rng.integers(0, n, size=e).astype(np.int64)
+    r = rng.integers(0, n, size=e).astype(np.int64)
+    x = rng.normal(size=(n, 4)).astype(np.float32)
+    g = build_graph(x, np.stack([s, r]))
+    adj = adjacency_from_graph(g, method="gather")
+    w = np.asarray(row_norm_weights(adj))
+    deg = np.zeros(g.num_nodes_padded)
+    rr = np.asarray(adj.receivers)
+    em = np.asarray(adj.edge_mask)
+    for i in range(len(rr)):
+        if em[i]:
+            deg[rr[i]] += 1
+    for i in range(len(rr)):
+        want = 1.0 / deg[rr[i]] if em[i] and deg[rr[i]] > 0 else 0.0
+        np.testing.assert_allclose(w[i], want, rtol=1e-6)
