@@ -30,12 +30,16 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _reduce_kernel(rel_ref, w_ref, msg_ref, out_ref, acc, *, node_block):
-    # rel/w arrive as [Et/128, 128] 2-D tiles (every block shape
+def _reduce_kernel(rel_ref, msg_ref, out_ref, acc, *, node_block):
+    # rel arrives as [Et/128, 128] 2-D tiles (every block shape
     # (8,128)-divisible). Mosaic's matmul needs a single contracting dim
     # and no cross-lane reshapes, so the reduce runs as a fori_loop of
     # [nb, 128] x [128, D] matmuls (128-wide one-hot slices) accumulating
-    # into VMEM scratch.
+    # into VMEM scratch. Per-slot weights are pre-folded into msg OUTSIDE
+    # the kernel: the in-kernel [nb,128]x[1,128] broadcast multiply is
+    # precisely the op this terminal's remote Mosaic compiler crashes on
+    # (tools/probe_pallas_feature2.log case 6), and XLA fuses the
+    # weighting into the gather that produces msg anyway.
     et128 = rel_ref.shape[1]
     nb = node_block
     acc[...] = jnp.zeros_like(acc)
@@ -43,12 +47,17 @@ def _reduce_kernel(rel_ref, w_ref, msg_ref, out_ref, acc, *, node_block):
 
     def body(ci, _):
         rel_c = rel_ref[0, pl.ds(ci, 1)]                  # [1, 128]
-        w_c = w_ref[0, pl.ds(ci, 1)]                      # [1, 128]
         oh = (rows == rel_c).astype(msg_ref.dtype)        # [nb, 128]
-        oh = oh * w_c.astype(msg_ref.dtype)
         msg_c = msg_ref[0, pl.ds(ci, 1)][0]               # [128, D]
+        # precision pinned to DEFAULT: the package sets
+        # jax_default_matmul_precision='highest' globally (fp32 reference
+        # parity), and Mosaic's HIGHEST lowering of this dot crashes the
+        # remote compile helper (tools/probe_pallas_feature9.py case 28).
+        # The reduce is exact anyway: one-hot 0/1 times bf16 values into
+        # an f32 accumulator.
         acc[...] += jax.lax.dot(
             oh, msg_c, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         return 0
 
@@ -62,8 +71,7 @@ def _reduce_kernel(rel_ref, w_ref, msg_ref, out_ref, acc, *, node_block):
 )
 def _slot_reduce_call(
     rel_key: jax.Array,   # [B, Et] int32 (Et a multiple of 1024)
-    w: jax.Array,         # [B, Et] weights (mask already folded in)
-    vals: jax.Array,      # [B, Et, D]
+    vals: jax.Array,      # [B, Et, D] — weights/mask already folded in
     node_block: int,
     num_nodes_padded: int,
     interpret: bool = False,
@@ -76,7 +84,6 @@ def _slot_reduce_call(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, et128, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, et128, 128), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, et128, 128, d), lambda b: (b, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, nb, d), lambda b: (b, 0, 0)),
@@ -85,7 +92,6 @@ def _slot_reduce_call(
         interpret=interpret,
     )(
         rel_key.reshape(B, et128, 128),
-        w.reshape(B, et128, 128),
         vals.reshape(B, et128, 128, d),
     )
     return out.reshape(B * nb, d)[:num_nodes_padded]
@@ -114,16 +120,19 @@ def slot_reduce_pallas(
     w = lay.slot_mask.reshape(B, Et).astype(vals.dtype)
     if w_slot is not None:
         w = w * w_slot.reshape(B, Et).astype(vals.dtype)
+    # weights folded into the messages host-of-kernel (fuses with the
+    # producing gather; the in-kernel broadcast multiply crashes this
+    # terminal's remote Mosaic compiler — see _reduce_kernel docstring)
+    vals = vals * w[..., None]
     rel = lay.rel_key
     pad = (-Et) % 1024
     if pad:
         vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
-        w = jnp.pad(w, ((0, 0), (0, pad)))
         rel = jnp.pad(
             rel, ((0, 0), (0, pad)), constant_values=lay.node_block
         )
     return _slot_reduce_call(
-        rel, w, vals, lay.node_block, lay.num_nodes_padded,
+        rel, vals, lay.node_block, lay.num_nodes_padded,
         interpret=interpret,
     )
 
