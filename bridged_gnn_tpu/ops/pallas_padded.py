@@ -30,39 +30,36 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _reduce_kernel(rel_ref, msg_ref, out_ref, acc, *, node_block):
+def _reduce_kernel(rel_ref, msg_ref, out_ref, oh, *, node_block):
     # rel arrives as [Et/128, 128] 2-D tiles (every block shape
-    # (8,128)-divisible). Mosaic's matmul needs a single contracting dim
-    # and no cross-lane reshapes, so the reduce runs as a fori_loop of
-    # [nb, 128] x [128, D] matmuls (128-wide one-hot slices) accumulating
-    # into VMEM scratch. Per-slot weights are pre-folded into msg OUTSIDE
-    # the kernel: the in-kernel [nb,128]x[1,128] broadcast multiply is
-    # precisely the op this terminal's remote Mosaic compiler crashes on
+    # (8,128)-divisible). The one-hot [nb, Et] is built bytes-free in VMEM
+    # scratch by a STATIC unrolled loop of 128-wide iota compares, then
+    # the whole block reduces in ONE [nb, Et] x [Et, D] MXU dot — 2.4x
+    # faster than the earlier fori_loop of [nb,128]x[128,D] slices, which
+    # was MXU-pipeline-drain-bound (tools/probe_pallas_bigdot.json:
+    # 3.94 ms vs 9.51 ms at bench scale, bit-exact). Per-slot weights are
+    # pre-folded into msg OUTSIDE the kernel: the in-kernel
+    # [nb,128]x[1,128] broadcast multiply is precisely the op this
+    # terminal's remote Mosaic compiler crashes on
     # (tools/probe_pallas_feature2.log case 6), and XLA fuses the
     # weighting into the gather that produces msg anyway.
     et128 = rel_ref.shape[1]
     nb = node_block
-    acc[...] = jnp.zeros_like(acc)
     rows = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
-
-    def body(ci, _):
-        rel_c = rel_ref[0, pl.ds(ci, 1)]                  # [1, 128]
-        oh = (rows == rel_c).astype(msg_ref.dtype)        # [nb, 128]
-        msg_c = msg_ref[0, pl.ds(ci, 1)][0]               # [128, D]
-        # precision pinned to DEFAULT: the package sets
-        # jax_default_matmul_precision='highest' globally (fp32 reference
-        # parity), and Mosaic's HIGHEST lowering of this dot crashes the
-        # remote compile helper (tools/probe_pallas_feature9.py case 28).
-        # The reduce is exact anyway: one-hot 0/1 times bf16 values into
-        # an f32 accumulator.
-        acc[...] += jax.lax.dot(
-            oh, msg_c, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        return 0
-
-    jax.lax.fori_loop(0, et128, body, 0)
-    out_ref[0] = acc[...]
+    for ci in range(et128):  # static unroll: compare + aligned VMEM store
+        oh[:, ci * 128:(ci + 1) * 128] = (
+            rows == rel_ref[0, ci:ci + 1]
+        ).astype(oh.dtype)
+    # precision pinned to DEFAULT: the package sets
+    # jax_default_matmul_precision='highest' globally (fp32 reference
+    # parity), and Mosaic's HIGHEST lowering of an unpinned dot crashes
+    # the remote compile helper (tools/probe_pallas_feature9.py case 28).
+    # The reduce is exact anyway: one-hot 0/1 times bf16 values into an
+    # f32 accumulator.
+    out_ref[0] = jax.lax.dot(
+        oh[...], msg_ref[0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
 
 
 @functools.partial(
@@ -70,7 +67,7 @@ def _reduce_kernel(rel_ref, msg_ref, out_ref, acc, *, node_block):
     static_argnames=("node_block", "num_nodes_padded", "interpret"),
 )
 def _slot_reduce_call(
-    rel_key: jax.Array,   # [B, Et] int32 (Et a multiple of 1024)
+    rel_key: jax.Array,   # [B, Et] int32 (Et a multiple of 128)
     vals: jax.Array,      # [B, Et, D] — weights/mask already folded in
     node_block: int,
     num_nodes_padded: int,
@@ -84,15 +81,15 @@ def _slot_reduce_call(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, et128, 128), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, et128, 128, d), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, Et, d), lambda b: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, nb, d), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, nb, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nb, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nb, Et), vals.dtype)],
         interpret=interpret,
     )(
         rel_key.reshape(B, et128, 128),
-        vals.reshape(B, et128, 128, d),
+        vals,
     )
     return out.reshape(B * nb, d)[:num_nodes_padded]
 
@@ -112,27 +109,22 @@ def slot_reduce_pallas(
 ) -> jax.Array:
     """Drop-in twin of blocked_segment.padded_slot_reduce (Mosaic).
 
-    Slots are padded up to a multiple of 1024 so every kernel block tiles
-    as (8k, 128m); pad slots carry rel=node_block (no one-hot hit) and
-    weight 0."""
+    Padding slots carry rel=node_block, which hits no one-hot row, so no
+    separate mask multiply is needed in the unweighted case — the
+    [B,Et,D]-sized elementwise pass it would cost (~1.2 GB of HBM traffic
+    at bench scale) is pure overhead. tile_e is already a multiple of 128
+    and the kernel block spans the full slot axis, so no extra padding."""
     B, Et = lay.num_blocks, lay.tile_e
     vals = vals.reshape(B, Et, -1)
-    w = lay.slot_mask.reshape(B, Et).astype(vals.dtype)
     if w_slot is not None:
-        w = w * w_slot.reshape(B, Et).astype(vals.dtype)
-    # weights folded into the messages host-of-kernel (fuses with the
-    # producing gather; the in-kernel broadcast multiply crashes this
-    # terminal's remote Mosaic compiler — see _reduce_kernel docstring)
-    vals = vals * w[..., None]
-    rel = lay.rel_key
-    pad = (-Et) % 1024
-    if pad:
-        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
-        rel = jnp.pad(
-            rel, ((0, 0), (0, pad)), constant_values=lay.node_block
-        )
+        # weights folded into the messages outside the kernel (fuses with
+        # the producing gather; the in-kernel broadcast multiply crashes
+        # this terminal's remote Mosaic compiler — see _reduce_kernel).
+        # The mask is implicit: pad slots have rel=node_block regardless.
+        w = w_slot.reshape(B, Et).astype(vals.dtype)
+        vals = vals * w[..., None]
     return _slot_reduce_call(
-        rel, vals, lay.node_block, lay.num_nodes_padded,
+        lay.rel_key, vals, lay.node_block, lay.num_nodes_padded,
         interpret=interpret,
     )
 
