@@ -256,21 +256,44 @@ class AdaptedConv(nn.Module):
         # padded slot layouts — senders index x_ext, destinations index
         # owned rows; fall back to the blocked segment ops otherwise.
         if self.use_fused and halo.pl is not None:
-            # autodiff fused path here: the hand-written custom VJP's
-            # device-local cotangents defeat shard_map's replication
-            # (VMA) inference for the replicated a_f params; autodiff's
-            # transposes produce the psums the checker can verify
-            from bridged_gnn_tpu.ops.fused_attention import (
-                adapted_attention,
-            )
+            if self.fused_recompute_bwd:
+                # memory-lean hand-derived backward under shard_map: the
+                # custom VJP is opaque to the replication (VMA) checker,
+                # so the replicated a_f param vectors are pcast to
+                # device-varying OUTSIDE the custom_vjp — every input is
+                # then uniformly varying inside it, and the pcast's own
+                # transpose (a psum of the da cotangents) is inserted by
+                # JAX where the checker can verify it (STATUS r2 gap 4)
+                from bridged_gnn_tpu.nn.common import ParamKernel
+                from bridged_gnn_tpu.ops.fused_attention import (
+                    make_adapted_attention,
+                )
 
-            out = adapted_attention(
-                halo.fused_ops(), u_t2s, u_s2t, central_mask,
-                torch_dense(1, use_bias=False, name="a_f_t2s"),
-                torch_dense(1, use_bias=False, name="a_f_s2t"),
-                negative_slope=self.negative_slope,
-                u1_dst=u_t2s[: halo.rows], u2_dst=u_s2t[: halo.rows],
-            )
+                a1 = ParamKernel(self.out_channels, name="a_f_t2s")()[:, 0]
+                a2 = ParamKernel(self.out_channels, name="a_f_s2t")()[:, 0]
+                a1 = jax.lax.pcast(a1, halo.axis, to="varying")
+                a2 = jax.lax.pcast(a2, halo.axis, to="varying")
+                out = make_adapted_attention(
+                    halo.fused_ops(), self.negative_slope
+                )(
+                    u_t2s, u_s2t,
+                    u_t2s[: halo.rows], u_s2t[: halo.rows],
+                    central_mask.astype(jnp.float32), a1, a2,
+                )
+            else:
+                # autodiff fused path (production default): its transposes
+                # produce the psums the VMA checker verifies natively
+                from bridged_gnn_tpu.ops.fused_attention import (
+                    adapted_attention,
+                )
+
+                out = adapted_attention(
+                    halo.fused_ops(), u_t2s, u_s2t, central_mask,
+                    torch_dense(1, use_bias=False, name="a_f_t2s"),
+                    torch_dense(1, use_bias=False, name="a_f_s2t"),
+                    negative_slope=self.negative_slope,
+                    u1_dst=u_t2s[: halo.rows], u2_dst=u_s2t[: halo.rows],
+                )
         else:
             s, r = halo.senders_local, halo.receivers_local
             dst_central = central_mask[r]
@@ -333,6 +356,9 @@ class KTGNN(nn.Module):
     # rematerialize conv activations in backward (jax.checkpoint) — trades
     # FLOPs for memory on deep stacks / large graphs
     remat: bool = False
+    # memory-lean fused-attention backward (recompute instead of storing
+    # [B,Et,D] residuals) in every AdaptedConv — see AdaptedConv docs
+    fused_recompute_bwd: bool = False
     # feature-complementor options (reference KTGNN.py:340-341; all run.sh
     # configs use need_complement=False)
     need_complement: bool = False
@@ -368,6 +394,7 @@ class KTGNN(nn.Module):
             x = conv_cls(
                 self.hidden, root_weight=self.root_weight,
                 axis_name=self.axis_name, name=f"convs_{i}",
+                fused_recompute_bwd=self.fused_recompute_bwd,
             )(x, adj, cm, nm, halo)
             if self.use_bn:
                 x = MaskedBatchNorm(name=f"bns_{i}", axis_name=stats_axis)(
@@ -382,10 +409,12 @@ class KTGNN(nn.Module):
         logits_base = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
             axis_name=self.axis_name, name="clf_base",
+            fused_recompute_bwd=self.fused_recompute_bwd,
         )(x, adj, cm, nm, halo)
         clf_target = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
             axis_name=self.axis_name, name="clf_target",
+            fused_recompute_bwd=self.fused_recompute_bwd,
         )
         x_trans = ClfTransformer(self.hidden, name="clf_transformer",
                                  stats_axis=stats_axis)(

@@ -186,3 +186,73 @@ def test_halo_step_trains(rng):
         params, bs, opt_state, loss = train_step(params, bs, opt_state, k)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_halo_step_recompute_bwd_matches_single_device(rng):
+    """STATUS r2 gap 4: the hand-derived fused-attention backward
+    (make_adapted_attention) now runs under shard_map — the replicated
+    a_f vectors are pcast to device-varying outside the custom VJP, so
+    the VMA checker sees a uniform-varying region and JAX inserts the
+    psum at the pcast transpose. Loss and updated params must match the
+    single-device AUTODIFF step (same math, different backward)."""
+    d = make_graph_dict(rng)
+    g = with_self_loops(graph_from_dict(d))
+    cfg = Stage2Config(hidden=16, use_scheduler=False, dropout=0.0)
+    mesh = make_mesh(8)
+
+    model_rc = KTGNN(num_classes=4, layer_num=2, hidden=16, dropout=0.0,
+                     fused_recompute_bwd=True)
+    model_ad = KTGNN(num_classes=4, layer_num=2, hidden=16, dropout=0.0)
+    adj = adjacency_from_graph(g, method="gather")
+    variables = model_ad.init(jax.random.PRNGKey(0), g, adj, False)
+    params, bs = variables["params"], variables["batch_stats"]
+    # param trees of the two variants must be interchangeable
+    v_rc = model_rc.init(jax.random.PRNGKey(0), g, adj, False)
+    assert jax.tree_util.tree_structure(v_rc["params"]) == \
+        jax.tree_util.tree_structure(params)
+
+    train_step, _ = make_halo_ktgnn_train_step(mesh, model_rc, g, cfg)
+    from bridged_gnn_tpu.train.optim import torch_adam
+
+    tx = torch_adam(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+    rng_drop = jax.random.PRNGKey(42)
+    p_sh, bs_sh, opt_sh, loss_sh = train_step(params, bs, opt_state,
+                                              rng_drop)
+
+    from bridged_gnn_tpu.train.stage2 import kl_batchmean, masked_nll
+
+    tar_train = g.train_mask & (~g.central_mask)
+
+    def loss_fn(p, bstats):
+        outs, mutated = model_ad.apply(
+            {"params": p, "batch_stats": bstats}, g, adj, True,
+            rngs={"dropout": rng_drop}, mutable=["batch_stats"],
+        )
+        lp_s, lp_t, lp_that, _ = outs
+        loss = (
+            2.0 * masked_nll(lp_s, g.y, g.train_mask)
+            + masked_nll(lp_t, g.y, tar_train)
+            + masked_nll(lp_that, g.y, tar_train)
+        ) / 4.0 + kl_batchmean(lp_that, lp_t, g.node_mask)
+        return loss, mutated["batch_stats"]
+
+    (loss_1, _), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params, bs)
+    np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-4)
+
+    import optax
+
+    updates, _ = tx.update(grads, tx.init(params), params)
+    p_1 = optax.apply_updates(params, updates)
+    for a, b, gr in zip(
+        jax.tree_util.tree_leaves(p_sh),
+        jax.tree_util.tree_leaves(p_1),
+        jax.tree_util.tree_leaves(grads),
+    ):
+        significant = np.abs(np.asarray(gr)) > 1e-5
+        np.testing.assert_allclose(
+            np.asarray(a)[significant], np.asarray(b)[significant],
+            rtol=2e-3, atol=2e-5,
+        )
