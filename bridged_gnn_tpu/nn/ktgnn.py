@@ -53,6 +53,11 @@ class AdaptedConv(nn.Module):
     use_fused: bool = True
     # opt-in memory-lean fused backward (recompute instead of residuals)
     fused_recompute_bwd: bool = False
+    # opt-in single-Mosaic-kernel forward (ops/pallas_fused.py): 1.65x the
+    # XLA fused forward on v5e (tools/bench_fused_kernel.json) — the
+    # inference fast path; its backward is the (slower) recompute VJP, so
+    # keep it off for training
+    fused_kernel_fwd: bool = False
 
     @nn.compact
     def __call__(
@@ -95,12 +100,21 @@ class AdaptedConv(nn.Module):
             and not (self.aggregate_dense and adj.use_dense)
         )
         if fused_ok:
-            if self.fused_recompute_bwd:
-                # memory-lean variant: hand-derived recompute backward —
-                # ~2 GB less residual traffic per layer at bench scale but
-                # measured ~19% slower fwd+bwd than autodiff
-                # (results_fused_tpu.json); opt in when activations don't
-                # fit
+            kernel_ok = False
+            if self.fused_kernel_fwd:
+                from bridged_gnn_tpu.ops import pallas_fused
+
+                lay = adj.fast_fn.lay_dst
+                kernel_ok = pallas_fused.fits_vmem(
+                    lay.tile_e, lay.node_block, self.out_channels
+                )
+            if kernel_ok or self.fused_recompute_bwd:
+                # custom-VJP variants. kernel_fwd: the whole attention
+                # layer as ONE Mosaic kernel per dst block (inference
+                # fast path, 1.65x the XLA forward on v5e). Otherwise the
+                # memory-lean recompute backward: ~2 GB less residual
+                # traffic per layer at bench scale but measured ~19%
+                # slower fwd+bwd than autodiff (results_fused_tpu.json)
                 from bridged_gnn_tpu.nn.common import ParamKernel
                 from bridged_gnn_tpu.ops.fused_attention import (
                     make_adapted_attention,
@@ -108,9 +122,19 @@ class AdaptedConv(nn.Module):
 
                 a1 = ParamKernel(self.out_channels, name="a_f_t2s")()[:, 0]
                 a2 = ParamKernel(self.out_channels, name="a_f_s2t")()[:, 0]
-                out = make_adapted_attention(
-                    adj.fast_fn, self.negative_slope
-                )(
+                if kernel_ok:
+                    from bridged_gnn_tpu.ops import pallas_fused
+
+                    fn = make_adapted_attention(
+                        adj.fast_fn, self.negative_slope,
+                        kernel_fwd=True,
+                        interpret=pallas_fused.default_interpret(),
+                    )
+                else:
+                    fn = make_adapted_attention(
+                        adj.fast_fn, self.negative_slope
+                    )
+                out = fn(
                     u_t2s, u_s2t, u_t2s, u_s2t,
                     central_mask.astype(jnp.float32), a1, a2,
                 )
@@ -359,6 +383,8 @@ class KTGNN(nn.Module):
     # memory-lean fused-attention backward (recompute instead of storing
     # [B,Et,D] residuals) in every AdaptedConv — see AdaptedConv docs
     fused_recompute_bwd: bool = False
+    # single-Mosaic-kernel attention forward (inference fast path)
+    fused_kernel_fwd: bool = False
     # feature-complementor options (reference KTGNN.py:340-341; all run.sh
     # configs use need_complement=False)
     need_complement: bool = False
@@ -395,6 +421,7 @@ class KTGNN(nn.Module):
                 self.hidden, root_weight=self.root_weight,
                 axis_name=self.axis_name, name=f"convs_{i}",
                 fused_recompute_bwd=self.fused_recompute_bwd,
+                fused_kernel_fwd=self.fused_kernel_fwd,
             )(x, adj, cm, nm, halo)
             if self.use_bn:
                 x = MaskedBatchNorm(name=f"bns_{i}", axis_name=stats_axis)(
@@ -410,11 +437,13 @@ class KTGNN(nn.Module):
             self.num_classes, root_weight=self.root_weight,
             axis_name=self.axis_name, name="clf_base",
             fused_recompute_bwd=self.fused_recompute_bwd,
+            fused_kernel_fwd=self.fused_kernel_fwd,
         )(x, adj, cm, nm, halo)
         clf_target = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
             axis_name=self.axis_name, name="clf_target",
             fused_recompute_bwd=self.fused_recompute_bwd,
+            fused_kernel_fwd=self.fused_kernel_fwd,
         )
         x_trans = ClfTransformer(self.hidden, name="clf_transformer",
                                  stats_axis=stats_axis)(

@@ -40,7 +40,12 @@ from bridged_gnn_tpu.ops.blocked_segment import (
 _NEG = -1e30
 
 
-def make_adapted_attention(ops: BlockedOps, negative_slope: float = 0.1):
+def make_adapted_attention(
+    ops: BlockedOps,
+    negative_slope: float = 0.1,
+    kernel_fwd: bool = False,
+    interpret: bool = False,
+):
     """Custom-VJP fused attention conv with a recompute backward.
 
     Same math as :func:`adapted_attention` but the backward pass is
@@ -57,6 +62,12 @@ def make_adapted_attention(ops: BlockedOps, negative_slope: float = 0.1):
     ``central_f32`` is the destination-domain flag as float (no grad).
     Gradients are defined for every other argument; pass ``u1 is u1_dst``
     on a single device and JAX sums the two cotangents.
+
+    ``kernel_fwd=True`` runs the forward as ONE Mosaic kernel per dst
+    block (ops/pallas_fused.py) — the gathered rows are read from HBM
+    once and every intermediate stays in VMEM; the recompute backward is
+    unchanged (XLA). ``interpret=True`` runs that kernel in interpreter
+    mode (CPU tests).
     """
     lay = ops.lay_dst
     B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
@@ -109,12 +120,29 @@ def make_adapted_attention(ops: BlockedOps, negative_slope: float = 0.1):
             + padded_slot_reduce(lay, m2, w2)
         return out.astype(u1.dtype), (alpha, c_slot)
 
+    def _forward_kernel(u1, u2, u1_dst, u2_dst, central, a1, a2):
+        from bridged_gnn_tpu.ops.pallas_fused import (
+            adapted_attention_fwd_pallas,
+        )
+
+        m = ops.gather_slots(jnp.concatenate([u1, u2], axis=-1))
+        out, alpha, _ = adapted_attention_fwd_pallas(
+            lay, m, u1_dst, u2_dst, central, a1, a2,
+            negative_slope=slope, interpret=interpret,
+        )
+        n_full = B * nb
+        c_pad = jnp.pad(central, (0, n_full - central.shape[0]))
+        c_slot = _expand_scalar(c_pad.reshape(B, nb).astype(jnp.float32))
+        return out.astype(u1.dtype), (alpha, c_slot)
+
+    _fwd_impl = _forward_kernel if kernel_fwd else _forward
+
     @jax.custom_vjp
     def fused(u1, u2, u1_dst, u2_dst, central, a1, a2):
-        return _forward(u1, u2, u1_dst, u2_dst, central, a1, a2)[0]
+        return _fwd_impl(u1, u2, u1_dst, u2_dst, central, a1, a2)[0]
 
     def fwd(u1, u2, u1_dst, u2_dst, central, a1, a2):
-        out, (alpha, c_slot) = _forward(
+        out, (alpha, c_slot) = _fwd_impl(
             u1, u2, u1_dst, u2_dst, central, a1, a2
         )
         return out, (u1, u2, u1_dst, u2_dst, central, a1, a2, alpha, c_slot)

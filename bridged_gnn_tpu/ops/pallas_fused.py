@@ -1,0 +1,211 @@
+"""Single-kernel fused attention forward (Mosaic/Pallas TPU).
+
+The whole AdaptedConv attention pass — destination-row expansion, GATv2
+logits, per-destination segment softmax, and weighted aggregation
+(reference models/KTGNN.py:263-315) — runs as ONE pallas_call per
+destination node block. The gathered sender rows are read from HBM
+exactly once; every intermediate ([Et, 2D] pre-activations, one-hots,
+softmax statistics) lives only in VMEM, where the XLA formulation
+(ops/fused_attention.py) spills them to HBM between fusions.
+
+Remote-Mosaic-compiler constraints honored (probed in
+tools/probe_fusedconv_ops*.py against this environment's compile
+helper):
+  * bf16 ``leaky_relu`` and bf16 lane-broadcast multiplies crash the
+    helper — all elementwise math runs in f32, broadcasts are explicit
+    ``jnp.broadcast_to``;
+  * cross-lane reshapes crash — per-slot scalars stay in [Et, 1] column
+    layout end to end, one-hots are built by chunked 128-wide iota
+    compares into VMEM scratch (the probe-validated pattern of
+    ops/pallas_padded.py);
+  * dots pin ``precision=DEFAULT`` (the package's global HIGHEST matmul
+    precision makes Mosaic's lowering crash).
+
+Numerics: the softmax is shifted by the *block* max (a scalar) instead
+of the per-destination max. The softmax values are mathematically
+identical; only the floating-point shift differs, and it stays exact
+unless logits within one 256-row destination block span more than ~80
+(f32 exp range) — far beyond trained GATv2 logit spreads. Parity with
+the XLA path is asserted in tests to 1e-2 relative.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_DOT = dict(
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.DEFAULT,
+)
+_NEG = -1e30
+
+# measured VMEM envelope: nb=256/Et=4352/D=128 overflows the compile
+# helper, nb=128/Et=2176 and nb=256/Et=2048 compile (probe round 3)
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def fits_vmem(tile_e: int, node_block: int, dch: int) -> bool:
+    """Conservative working-set estimate for one grid step: bf16 msg
+    (double-buffered) + ~3 live [Et, 2D] f32 temps + the one-hot scratch."""
+    est = tile_e * dch * 32 + 2 * node_block * tile_e
+    return est <= _VMEM_BUDGET
+
+
+def default_interpret() -> bool:
+    """Interpreter mode off-TPU so the kernel path works in CPU tests."""
+    return jax.default_backend() != "tpu"
+
+
+def _attention_kernel(
+    rel_ref,    # [1, Et/128, 128] int32 — rel dst key per slot
+    m_ref,      # [1, Et, 2D] bf16 — gathered sender rows [m1 ‖ m2]
+    ud_ref,     # [1, nb, 2D]      — destination-side rows [u1 ‖ u2]
+    c_ref,      # [1, nb, 1]  f32  — destination-domain flag per row
+    a1_ref,     # [1, D] f32 — GATv2 logit vector, t2s branch
+    a2_ref,     # [1, D] f32 — GATv2 logit vector, s2t branch
+    out_ref,    # [1, nb, 2D] f32 — [r1 ‖ r2] (branch select happens outside)
+    alpha_ref,  # [1, Et, 1] f32 — attention weights (bwd residual)
+    oh,         # VMEM scratch [nb, Et] bf16
+    *,
+    node_block: int,
+    negative_slope: float,
+):
+    nb = node_block
+    et = m_ref.shape[1]
+    dch = a1_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
+    for ci in range(et // 128):  # static unroll (probe: dynamic stores ok
+        oh[:, ci * 128:(ci + 1) * 128] = (  # only on 128-aligned slices)
+            rows == rel_ref[0, ci:ci + 1]
+        ).astype(oh.dtype)
+
+    ohv = oh[...]
+    ones_nb = jnp.ones((nb, 1), jnp.float32)
+    # column expansions: slot scalar = ohᵀ @ per-row scalar  (all MXU)
+    hit = jax.lax.dot_general(ohv, ones_nb, (((0,), (0,)), ((), ())), **_DOT)
+    c_slot = jax.lax.dot_general(
+        ohv, c_ref[0], (((0,), (0,)), ((), ())), **_DOT
+    )                                                   # [Et, 1]
+    d_slots = jax.lax.dot_general(
+        ohv, ud_ref[0], (((0,), (0,)), ((), ())), **_DOT
+    )                                                   # [Et, 2D] f32
+
+    z = m_ref[0].astype(jnp.float32) + d_slots
+    h = jnp.where(z >= 0, z, negative_slope * z)        # f32 leaky_relu
+    a1b = jnp.broadcast_to(a1_ref[...], (et, dch))
+    a2b = jnp.broadcast_to(a2_ref[...], (et, dch))
+    l1 = jnp.sum(h[:, :dch] * a1b, axis=1, keepdims=True)   # [Et, 1]
+    l2 = jnp.sum(h[:, dch:] * a2b, axis=1, keepdims=True)
+    lm = c_slot * l1 + (1.0 - c_slot) * l2
+    lm = jnp.where(hit > 0, lm, _NEG)
+
+    # block-max shift (scalar): exact softmax values, see module docstring
+    mx = jnp.maximum(jnp.max(lm), _NEG)
+    ex = jnp.exp(lm - mx) * hit                          # [Et, 1]
+    den = jax.lax.dot_general(ohv, ex, (((1,), (0,)), ((), ())), **_DOT)
+    den = jnp.where(den == 0, 1.0, den)                  # [nb, 1]
+    den_slot = jax.lax.dot_general(
+        ohv, den, (((0,), (0,)), ((), ())), **_DOT
+    )
+    # pad slots (rel == nb) miss every one-hot row -> den_slot 0 there;
+    # guard again or 0/0 NaNs poison the final reduce (0 * NaN = NaN)
+    alpha = ex / jnp.where(den_slot == 0, 1.0, den_slot)  # [Et, 1]
+    alpha_ref[0] = alpha
+
+    mw = (
+        m_ref[0].astype(jnp.float32)
+        * jnp.broadcast_to(alpha, (et, 2 * dch))
+    ).astype(m_ref.dtype)
+    out_ref[0] = jax.lax.dot_general(
+        ohv, mw, (((1,), (0,)), ((), ())), **_DOT
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("node_block", "negative_slope", "interpret"),
+)
+def _attention_call(
+    rel_key,   # [B, Et] int32
+    msg,       # [B, Et, 2D] bf16/f32
+    u_dst_blk,  # [B, nb, 2D]
+    c_blk,     # [B, nb, 1] f32
+    a1,        # [1, D] f32
+    a2,        # [1, D] f32
+    node_block: int,
+    negative_slope: float = 0.1,
+    interpret: bool = False,
+):
+    B, Et, d2 = msg.shape
+    nb = node_block
+    et128 = Et // 128
+    out, alpha = pl.pallas_call(
+        functools.partial(
+            _attention_kernel, node_block=nb,
+            negative_slope=negative_slope,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, et128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Et, d2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, d2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, d2 // 2), lambda b: (0, 0)),
+            pl.BlockSpec((1, d2 // 2), lambda b: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nb, d2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Et, 1), lambda b: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nb, d2), jnp.float32),
+            jax.ShapeDtypeStruct((B, Et, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nb, Et), msg.dtype)],
+        interpret=interpret,
+    )(
+        rel_key.reshape(B, et128, 128), msg, u_dst_blk, c_blk, a1, a2,
+    )
+    return out, alpha
+
+
+def adapted_attention_fwd_pallas(
+    lay,
+    gathered_msg: jax.Array,   # [B, Et, 2D] (slot order of `lay`)
+    u1_dst: jax.Array,         # [N_out, D]
+    u2_dst: jax.Array,         # [N_out, D]
+    central_f32: jax.Array,    # [N_out] f32
+    a1: jax.Array,             # [D]
+    a2: jax.Array,             # [D]
+    negative_slope: float = 0.1,
+    interpret: bool = False,
+):
+    """Returns (out [N_out, D] f32, alpha [B, Et] f32, c_slot [B, Et]).
+
+    ``gathered_msg`` is the [u1 ‖ u2] sender-row gather in ``lay``'s slot
+    order (the caller owns the gather so its custom VJP can reuse it)."""
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    dch = u1_dst.shape[-1]
+    n_full = B * nb
+    ud = jnp.concatenate([u1_dst, u2_dst], axis=-1)
+    ud = jnp.pad(ud, ((0, n_full - ud.shape[0]), (0, 0)))
+    ud_blk = ud.reshape(B, nb, 2 * dch).astype(gathered_msg.dtype)
+    c_pad = jnp.pad(central_f32, (0, n_full - central_f32.shape[0]))
+    c_blk = c_pad.reshape(B, nb, 1).astype(jnp.float32)
+    out, alpha = _attention_call(
+        lay.rel_key, gathered_msg, ud_blk, c_blk,
+        a1.reshape(1, dch).astype(jnp.float32),
+        a2.reshape(1, dch).astype(jnp.float32),
+        nb, negative_slope, interpret=interpret,
+    )
+    r = out.reshape(n_full, 2 * dch)[: central_f32.shape[0]]
+    is_c = central_f32[:, None] > 0.5
+    res = jnp.where(is_c, r[:, :dch], r[:, dch:])
+    alpha = alpha.reshape(B, Et)
+    c_slot = None  # derivable; the bwd recomputes it via block expand
+    return res, alpha, c_slot

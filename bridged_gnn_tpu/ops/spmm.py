@@ -82,6 +82,7 @@ def build_adjacency(
     num_nodes_padded: Optional[int] = None,
     method: str = "auto",
     dtype=jnp.float32,
+    node_block: int = 256,
 ) -> Adjacency:
     n_pad = num_nodes_padded or num_nodes
     w = edge_mask.astype(dtype)
@@ -138,6 +139,7 @@ def build_adjacency(
                 fast_fn=make_blocked_ops(
                     np.asarray(senders), np.asarray(receivers),
                     np.asarray(edge_mask), n_pad,
+                    node_block=node_block,
                 ),
             )
     return Adjacency(
@@ -151,7 +153,9 @@ def build_adjacency(
     )
 
 
-def adjacency_from_graph(graph, method: str = "auto") -> Adjacency:
+def adjacency_from_graph(
+    graph, method: str = "auto", node_block: int = 256
+) -> Adjacency:
     return build_adjacency(
         graph.senders,
         graph.receivers,
@@ -159,6 +163,7 @@ def adjacency_from_graph(graph, method: str = "auto") -> Adjacency:
         graph.num_nodes,
         graph.num_nodes_padded,
         method=method,
+        node_block=node_block,
     )
 
 

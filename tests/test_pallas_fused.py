@@ -1,0 +1,142 @@
+"""Single-kernel fused attention forward (ops/pallas_fused.py) parity —
+interpreter mode on CPU; the compiled twin runs in the TPU lane
+(tests/test_tpu_lane.py). Covers reference models/KTGNN.py:263-315."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bridged_gnn_tpu.ops.blocked_segment import make_blocked_ops
+from bridged_gnn_tpu.ops.fused_attention import make_adapted_attention
+
+from tests.test_fused_attention import _oracle, _random_graph
+
+
+@pytest.mark.parametrize("node_block", [16, 64])
+def test_kernel_fwd_matches_oracle_and_grads(rng, node_block):
+    n, n_pad = 50, 64
+    s, r, em = _random_graph(rng)
+    d = 8
+    u1 = jnp.asarray(rng.normal(size=(n_pad, d)).astype(np.float32))
+    u2 = jnp.asarray(rng.normal(size=(n_pad, d)).astype(np.float32))
+    a1 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    central = np.zeros(n_pad, bool)
+    central[: n // 2] = True
+    central_f = jnp.asarray(central.astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(n_pad, d)).astype(np.float32))
+    ops = make_blocked_ops(s, r, em, n_pad, node_block=node_block)
+
+    fused_k = make_adapted_attention(
+        ops, 0.1, kernel_fwd=True, interpret=True
+    )
+    fused_x = make_adapted_attention(ops, 0.1)
+
+    def fk(u1, u2, a1, a2):
+        return fused_k(u1, u2, u1, u2, central_f, a1, a2)
+
+    def fx(u1, u2, a1, a2):
+        return fused_x(u1, u2, u1, u2, central_f, a1, a2)
+
+    out_k = fk(u1, u2, a1, a2)
+    out_x = fx(u1, u2, a1, a2)
+    want = _oracle(
+        u1, u2, jnp.asarray(central), a1, a2,
+        jnp.asarray(s), jnp.asarray(r), jnp.asarray(em), n_pad, 0.1,
+    )
+    mask = np.zeros(n_pad, bool)
+    mask[:n] = True
+    np.testing.assert_allclose(
+        np.asarray(out_k)[mask], np.asarray(want)[mask],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_k)[mask], np.asarray(out_x)[mask],
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # gradients: kernel-forward custom VJP vs the XLA recompute VJP
+    def loss_k(*args):
+        return jnp.sum(fk(*args)[mask.nonzero()[0]] * cot[mask])
+
+    def loss_x(*args):
+        return jnp.sum(fx(*args)[mask.nonzero()[0]] * cot[mask])
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_ktgnn_kernel_fwd_matches(rng):
+    """Model-level: KTGNN with the single-kernel attention forward
+    (interpret mode on CPU) matches the production fused path."""
+    import jax
+
+    from bridged_gnn_tpu.graph import graph_from_dict, with_self_loops
+    from bridged_gnn_tpu.nn.ktgnn import KTGNN
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    n, e, d, c = 60, 300, 16, 4
+    ei = rng.integers(0, n, size=(2, e))
+    central = np.zeros(n, dtype=bool)
+    central[: n // 2] = True
+    data = dict(
+        x=rng.normal(size=(n, d)).astype(np.float32),
+        edge_index=ei,
+        y=rng.integers(0, c, size=n),
+        train_mask=np.ones(n, dtype=bool),
+        val_mask=np.zeros(n, dtype=bool),
+        test_mask=np.zeros(n, dtype=bool),
+        central_mask=central,
+    )
+    g = with_self_loops(graph_from_dict(data))
+    adj = adjacency_from_graph(g, method="blocked", node_block=16)
+    m0 = KTGNN(num_classes=c, layer_num=2, hidden=16, dropout=0.0)
+    mk = KTGNN(num_classes=c, layer_num=2, hidden=16, dropout=0.0,
+               fused_kernel_fwd=True)
+    variables = m0.init(jax.random.PRNGKey(0), g, adj, False)
+    out0 = m0.apply(variables, g, adj, False)
+    outk = mk.apply(variables, g, adj, False)
+    for a, b in zip(out0[:3], outk[:3]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_predictor_kernel_fwd(rng):
+    """Serving: KTGNNPredictor(kernel_fwd=True) produces the same labels
+    as the default path (CPU interpret mode)."""
+    import jax
+
+    from bridged_gnn_tpu.nn.ktgnn import KTGNN
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+    from bridged_gnn_tpu.graph import graph_from_dict, with_self_loops
+    from bridged_gnn_tpu.serve import KTGNNPredictor
+
+    n, e, d, c = 48, 200, 12, 3
+    data = dict(
+        x=rng.normal(size=(n, d)).astype(np.float32),
+        edge_index=rng.integers(0, n, size=(2, e)),
+        y=rng.integers(0, c, size=n),
+        train_mask=np.ones(n, dtype=bool),
+        val_mask=np.zeros(n, dtype=bool),
+        test_mask=np.zeros(n, dtype=bool),
+        central_mask=np.arange(n) < n // 2,
+    )
+    model = KTGNN(num_classes=c, layer_num=2, hidden=8, dropout=0.0)
+    g = with_self_loops(graph_from_dict(dict(data)))
+    adj = adjacency_from_graph(g)
+    variables = model.init(jax.random.PRNGKey(0), g, adj, False)
+
+    p0 = KTGNNPredictor(model, variables, dict(data), to_undirected=False,
+                        adjacency_method="blocked")
+    pk = KTGNNPredictor(model, variables, dict(data), to_undirected=False,
+                        adjacency_method="blocked", kernel_fwd=True)
+    r0 = p0.predict()
+    rk = pk.predict()
+    for k in r0:
+        np.testing.assert_allclose(r0[k], rk[k], rtol=1e-4, atol=1e-4)

@@ -127,3 +127,62 @@ def test_flagship_training_on_chip(a2d_dict):
     assert np.isfinite(res["best"]["loss"])
     assert res["history"][-1]["loss"] < res["history"][0]["loss"]
     assert res["mean_epoch_time"] < 2.0, res["mean_epoch_time"]
+
+
+def test_pallas_reduce_compiled_parity(rng):
+    """Compiled Mosaic padded reduce (ops/pallas_padded.py, big-dot
+    kernel) is bit-exact vs the XLA batched dot_general twin."""
+    from bridged_gnn_tpu.ops import blocked_segment as bs
+    from bridged_gnn_tpu.ops import pallas_padded as pp
+
+    n, e = 4096, 32768
+    s = rng.integers(0, n, size=e).astype(np.int32)
+    r = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+    lay = bs.build_padded_layout(
+        r, s, np.arange(e), np.ones(e, bool), n, 256
+    )
+    x = jnp.asarray(
+        rng.normal(size=(n, 128)).astype(np.float32), jnp.bfloat16
+    )
+    vals = x[lay.other_slot].reshape(lay.num_blocks, lay.tile_e, 128)
+    got = np.asarray(pp.slot_reduce_pallas(lay, vals), np.float32)
+    want = np.asarray(bs.padded_slot_reduce(lay, vals), np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_attention_kernel_compiled(rng):
+    """Compiled single-kernel attention forward (ops/pallas_fused.py)
+    matches the XLA fused path on-chip (bf16 rounding-order tolerance)."""
+    from bridged_gnn_tpu.ops.blocked_segment import make_blocked_ops
+    from bridged_gnn_tpu.ops.fused_attention import (
+        adapted_attention,
+        make_adapted_attention,
+    )
+
+    n, e, d = 4096, 32768, 64
+    s = rng.integers(0, n, size=e).astype(np.int32)
+    r = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+    em = np.ones(e, bool)
+    ops = make_blocked_ops(s, r, em, n, node_block=128)
+    u1 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32),
+                     jnp.bfloat16)
+    u2 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32),
+                     jnp.bfloat16)
+    a1 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    central = np.arange(n) < n // 2
+    cf = jnp.asarray(central.astype(np.float32))
+
+    kfn = make_adapted_attention(ops, 0.1, kernel_fwd=True)
+    got = np.asarray(kfn(u1, u2, u1, u2, cf, a1, a2), np.float32)
+    want = np.asarray(
+        adapted_attention(
+            ops, u1, u2, jnp.asarray(central),
+            lambda h: (h @ a1.astype(h.dtype))[..., None],
+            lambda h: (h @ a2.astype(h.dtype))[..., None],
+            negative_slope=0.1,
+        ),
+        np.float32,
+    )
+    scale = max(np.abs(want).max(), 1e-6)
+    assert np.abs(got - want).max() / scale < 0.08
