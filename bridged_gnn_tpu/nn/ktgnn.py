@@ -53,11 +53,16 @@ class AdaptedConv(nn.Module):
     use_fused: bool = True
     # opt-in memory-lean fused backward (recompute instead of residuals)
     fused_recompute_bwd: bool = False
-    # opt-in single-Mosaic-kernel forward (ops/pallas_fused.py): 1.65x the
-    # XLA fused forward on v5e (tools/bench_fused_kernel.json) — the
-    # inference fast path; its backward is the (slower) recompute VJP, so
-    # keep it off for training
+    # opt-in single-Mosaic-kernel forward (ops/pallas_fused.py): 1.61x the
+    # XLA fused forward on v5e (tools/bench_fused_kernel2.json) — the
+    # inference fast path
     fused_kernel_fwd: bool = False
+    # opt-in Mosaic backward kernel: with fused_kernel_fwd the full
+    # fwd+bwd measures 54.0 ms vs 64.7 ms autodiff-XLA (1.20x) at bench
+    # scale — the fastest training path; off by default because its bf16
+    # rounding order differs from autodiff (f32 parity is 1e-4,
+    # tests/test_pallas_fused.py)
+    fused_kernel_bwd: bool = False
 
     @nn.compact
     def __call__(
@@ -128,6 +133,7 @@ class AdaptedConv(nn.Module):
                     fn = make_adapted_attention(
                         adj.fast_fn, self.negative_slope,
                         kernel_fwd=True,
+                        kernel_bwd=self.fused_kernel_bwd,
                         interpret=pallas_fused.default_interpret(),
                     )
                 else:
@@ -385,6 +391,8 @@ class KTGNN(nn.Module):
     fused_recompute_bwd: bool = False
     # single-Mosaic-kernel attention forward (inference fast path)
     fused_kernel_fwd: bool = False
+    # + Mosaic backward kernel (fastest bf16 training path, opt-in)
+    fused_kernel_bwd: bool = False
     # feature-complementor options (reference KTGNN.py:340-341; all run.sh
     # configs use need_complement=False)
     need_complement: bool = False
@@ -422,6 +430,7 @@ class KTGNN(nn.Module):
                 axis_name=self.axis_name, name=f"convs_{i}",
                 fused_recompute_bwd=self.fused_recompute_bwd,
                 fused_kernel_fwd=self.fused_kernel_fwd,
+                fused_kernel_bwd=self.fused_kernel_bwd,
             )(x, adj, cm, nm, halo)
             if self.use_bn:
                 x = MaskedBatchNorm(name=f"bns_{i}", axis_name=stats_axis)(
@@ -438,12 +447,14 @@ class KTGNN(nn.Module):
             axis_name=self.axis_name, name="clf_base",
             fused_recompute_bwd=self.fused_recompute_bwd,
             fused_kernel_fwd=self.fused_kernel_fwd,
+            fused_kernel_bwd=self.fused_kernel_bwd,
         )(x, adj, cm, nm, halo)
         clf_target = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
             axis_name=self.axis_name, name="clf_target",
             fused_recompute_bwd=self.fused_recompute_bwd,
             fused_kernel_fwd=self.fused_kernel_fwd,
+            fused_kernel_bwd=self.fused_kernel_bwd,
         )
         x_trans = ClfTransformer(self.hidden, name="clf_transformer",
                                  stats_axis=stats_axis)(

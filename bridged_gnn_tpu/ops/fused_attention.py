@@ -44,6 +44,7 @@ def make_adapted_attention(
     ops: BlockedOps,
     negative_slope: float = 0.1,
     kernel_fwd: bool = False,
+    kernel_bwd: bool = False,
     interpret: bool = False,
 ):
     """Custom-VJP fused attention conv with a recompute backward.
@@ -151,6 +152,28 @@ def make_adapted_attention(
         u1, u2, u1_dst, u2_dst, central, a1, a2, alpha, c_slot = res
         dch = u1.shape[-1]
         dt = u1.dtype
+        if kernel_bwd:
+            # per-block backward as ONE Mosaic kernel (pallas_fused.py);
+            # only the src-keyed sender reduce stays in XLA (the slot
+            # cotangents change key order, which no dst-block-local
+            # kernel can absorb)
+            from bridged_gnn_tpu.ops.pallas_fused import (
+                adapted_attention_bwd_pallas,
+            )
+
+            u_cat = jnp.concatenate([u1, u2], axis=-1)
+            m, gather_vjp = jax.vjp(ops.gather_slots, u_cat)
+            dm, du1_dst, du2_dst, da1, da2 = adapted_attention_bwd_pallas(
+                lay, m, u1_dst, u2_dst, central, a1, a2, alpha, dout,
+                negative_slope=slope, interpret=interpret,
+            )
+            (du_cat,) = gather_vjp(dm)
+            return (
+                du_cat[:, :dch].astype(dt), du_cat[:, dch:].astype(dt),
+                du1_dst.astype(dt), du2_dst.astype(dt),
+                jnp.zeros_like(central),
+                da1.astype(a1.dtype), da2.astype(a2.dtype),
+            )
         # recompute the slot tensors (one gather + one expand matmul)
         u_cat = jnp.concatenate([u1, u2], axis=-1)
         m, gather_vjp = jax.vjp(ops.gather_slots, u_cat)

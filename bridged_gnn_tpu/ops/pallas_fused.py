@@ -174,6 +174,177 @@ def _attention_call(
     return out, alpha
 
 
+def _attention_bwd_kernel(
+    rel_ref,    # [1, Et/128, 128] int32
+    m_ref,      # [1, Et, 2D] bf16 — re-gathered sender rows
+    ud_ref,     # [1, nb, 2D]      — destination-side rows
+    c_ref,      # [1, nb, 1]  f32
+    a1_ref,     # [1, D] f32
+    a2_ref,     # [1, D] f32
+    alpha_ref,  # [1, Et, 1] f32 — fwd attention weights (residual)
+    dout_ref,   # [1, nb, D] f32 — output cotangent rows
+    dm_ref,     # out [1, Et, 2D] bf16 — per-slot message cotangents
+    dud_ref,    # out [1, nb, 2D] f32  — destination-row cotangents
+    da_ref,     # out [1, 1, 2D] f32   — per-block [da1 ‖ da2] partials
+    oh,         # VMEM scratch [nb, Et] bf16
+    *,
+    node_block: int,
+    negative_slope: float,
+):
+    nb = node_block
+    et = m_ref.shape[1]
+    dch = a1_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
+    for ci in range(et // 128):
+        oh[:, ci * 128:(ci + 1) * 128] = (
+            rows == rel_ref[0, ci:ci + 1]
+        ).astype(oh.dtype)
+    ohv = oh[...]
+
+    c_slot = jax.lax.dot_general(
+        ohv, c_ref[0], (((0,), (0,)), ((), ())), **_DOT
+    )                                                   # [Et, 1]
+    d_slots = jax.lax.dot_general(
+        ohv, ud_ref[0], (((0,), (0,)), ((), ())), **_DOT
+    )
+    z = m_ref[0].astype(jnp.float32) + d_slots          # [Et, 2D]
+    alpha = alpha_ref[0]                                # [Et, 1]
+    dout_slot = jax.lax.dot_general(
+        ohv, dout_ref[0], (((0,), (0,)), ((), ())), **_DOT
+    )                                                   # [Et, D]
+
+    cb = jnp.broadcast_to(c_slot, (et, dch))
+    m_f = m_ref[0].astype(jnp.float32)
+    msel = cb * m_f[:, :dch] + (1.0 - cb) * m_f[:, dch:]
+    dalpha = jnp.sum(msel * dout_slot, axis=1, keepdims=True)   # [Et,1]
+    t = alpha * dalpha
+    seg = jax.lax.dot_general(ohv, t, (((1,), (0,)), ((), ())), **_DOT)
+    s_slot = jax.lax.dot_general(
+        ohv, seg, (((0,), (0,)), ((), ())), **_DOT
+    )
+    dlm = t - alpha * s_slot                            # [Et, 1]
+    dl1 = dlm * c_slot
+    dl2 = dlm * (1.0 - c_slot)
+
+    h = jnp.where(z >= 0, z, negative_slope * z)
+    da1 = jnp.sum(h[:, :dch] * jnp.broadcast_to(dl1, (et, dch)),
+                  axis=0, keepdims=True)                # [1, D]
+    da2 = jnp.sum(h[:, dch:] * jnp.broadcast_to(dl2, (et, dch)),
+                  axis=0, keepdims=True)
+    g1 = jnp.where(z[:, :dch] > 0, 1.0, negative_slope)
+    g2 = jnp.where(z[:, dch:] > 0, 1.0, negative_slope)
+    a1b = jnp.broadcast_to(a1_ref[...], (et, dch))
+    a2b = jnp.broadcast_to(a2_ref[...], (et, dch))
+    dz1 = jnp.broadcast_to(dl1, (et, dch)) * a1b * g1
+    dz2 = jnp.broadcast_to(dl2, (et, dch)) * a2b * g2
+
+    w1 = alpha * c_slot
+    w2 = alpha * (1.0 - c_slot)
+    dm1 = jnp.broadcast_to(w1, (et, dch)) * dout_slot + dz1
+    dm2 = jnp.broadcast_to(w2, (et, dch)) * dout_slot + dz2
+    dm_ref[0, :, :dch] = dm1.astype(dm_ref.dtype)
+    dm_ref[0, :, dch:] = dm2.astype(dm_ref.dtype)
+
+    # destination-row cotangents: d = ohᵀ-expand ⇒ transpose = oh-reduce
+    dud_ref[0, :, :dch] = jax.lax.dot_general(
+        ohv, dz1.astype(m_ref.dtype), (((1,), (0,)), ((), ())), **_DOT
+    )
+    dud_ref[0, :, dch:] = jax.lax.dot_general(
+        ohv, dz2.astype(m_ref.dtype), (((1,), (0,)), ((), ())), **_DOT
+    )
+    da_ref[0, 0:1, :dch] = da1
+    da_ref[0, 0:1, dch:] = da2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("node_block", "negative_slope", "interpret"),
+)
+def _attention_bwd_call(
+    rel_key, msg, u_dst_blk, c_blk, a1, a2, alpha, dout_blk,
+    node_block: int,
+    negative_slope: float = 0.1,
+    interpret: bool = False,
+):
+    B, Et, d2 = msg.shape
+    nb = node_block
+    et128 = Et // 128
+    dm, dud, da = pl.pallas_call(
+        functools.partial(
+            _attention_bwd_kernel, node_block=nb,
+            negative_slope=negative_slope,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, et128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Et, d2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, d2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, d2 // 2), lambda b: (0, 0)),
+            pl.BlockSpec((1, d2 // 2), lambda b: (0, 0)),
+            pl.BlockSpec((1, Et, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, d2 // 2), lambda b: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Et, d2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, d2), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, d2), lambda b: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Et, d2), msg.dtype),
+            jax.ShapeDtypeStruct((B, nb, d2), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, d2), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nb, Et), msg.dtype)],
+        interpret=interpret,
+    )(rel_key.reshape(B, et128, 128), msg, u_dst_blk, c_blk, a1, a2,
+      alpha, dout_blk)
+    return dm, dud, da
+
+
+def adapted_attention_bwd_pallas(
+    lay,
+    gathered_msg: jax.Array,   # [B, Et, 2D] (slot order of `lay`)
+    u1_dst: jax.Array,
+    u2_dst: jax.Array,
+    central_f32: jax.Array,    # [N_out] f32
+    a1: jax.Array,
+    a2: jax.Array,
+    alpha: jax.Array,          # [B, Et] f32 (fwd residual)
+    dout: jax.Array,           # [N_out, D] cotangent
+    negative_slope: float = 0.1,
+    interpret: bool = False,
+):
+    """Per-block backward of the fused attention (everything except the
+    src-keyed sender reduce, which the caller runs on the dm output).
+
+    Returns (dm [B, Et, 2D], du1_dst, du2_dst, da1, da2)."""
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    dch = u1_dst.shape[-1]
+    n_full = B * nb
+    ud = jnp.concatenate([u1_dst, u2_dst], axis=-1)
+    ud = jnp.pad(ud, ((0, n_full - ud.shape[0]), (0, 0)))
+    ud_blk = ud.reshape(B, nb, 2 * dch).astype(gathered_msg.dtype)
+    c_pad = jnp.pad(central_f32, (0, n_full - central_f32.shape[0]))
+    c_blk = c_pad.reshape(B, nb, 1).astype(jnp.float32)
+    dout_pad = jnp.pad(
+        dout.astype(jnp.float32), ((0, n_full - dout.shape[0]), (0, 0))
+    )
+    dout_blk = dout_pad.reshape(B, nb, dch)
+    dm, dud, da = _attention_bwd_call(
+        lay.rel_key, gathered_msg, ud_blk, c_blk,
+        a1.reshape(1, dch).astype(jnp.float32),
+        a2.reshape(1, dch).astype(jnp.float32),
+        alpha.reshape(B, Et, 1).astype(jnp.float32),
+        dout_blk, nb, negative_slope, interpret=interpret,
+    )
+    dud_flat = dud.reshape(n_full, 2 * dch)
+    du1_dst = dud_flat[: u1_dst.shape[0], :dch]
+    du2_dst = dud_flat[: u2_dst.shape[0], dch:]
+    da_sum = jnp.sum(da[:, 0, :], axis=0)
+    return dm, du1_dst, du2_dst, da_sum[:dch], da_sum[dch:]
+
+
 def adapted_attention_fwd_pallas(
     lay,
     gathered_msg: jax.Array,   # [B, Et, 2D] (slot order of `lay`)

@@ -140,3 +140,88 @@ def test_predictor_kernel_fwd(rng):
     rk = pk.predict()
     for k in r0:
         np.testing.assert_allclose(r0[k], rk[k], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("node_block", [16, 64])
+def test_kernel_bwd_matches_xla_vjp(rng, node_block):
+    """Full kernel custom-VJP (fwd AND bwd as Mosaic kernels, interpret
+    mode) gradients match the XLA recompute VJP."""
+    n, n_pad, d = 50, 64, 8
+    s, r, em = _random_graph(rng)
+    u1 = jnp.asarray(rng.normal(size=(n_pad, d)).astype(np.float32))
+    u2 = jnp.asarray(rng.normal(size=(n_pad, d)).astype(np.float32))
+    a1 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    central = np.zeros(n_pad, bool)
+    central[: n // 2] = True
+    central_f = jnp.asarray(central.astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(n_pad, d)).astype(np.float32))
+    mask = np.zeros(n_pad, bool)
+    mask[:n] = True
+    ops = make_blocked_ops(s, r, em, n_pad, node_block=node_block)
+
+    fused_kk = make_adapted_attention(
+        ops, 0.1, kernel_fwd=True, kernel_bwd=True, interpret=True
+    )
+    fused_x = make_adapted_attention(ops, 0.1)
+
+    def loss(fn):
+        def go(u1, u2, a1, a2):
+            out = fn(u1, u2, u1, u2, central_f, a1, a2)
+            return jnp.sum(out[mask.nonzero()[0]] * cot[mask])
+        return go
+
+    gk = jax.grad(loss(fused_kk), argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    gx = jax.grad(loss(fused_x), argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_ktgnn_kernel_both_grads_match(rng):
+    """Model-level: KTGNN(fused_kernel_fwd+bwd) gradients match the
+    production autodiff path at f32 (interpret mode on CPU)."""
+    import jax
+
+    from bridged_gnn_tpu.graph import graph_from_dict, with_self_loops
+    from bridged_gnn_tpu.nn.ktgnn import KTGNN
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    n, e, d, c = 60, 300, 16, 4
+    data = dict(
+        x=rng.normal(size=(n, d)).astype(np.float32),
+        edge_index=rng.integers(0, n, size=(2, e)),
+        y=rng.integers(0, c, size=n),
+        train_mask=np.ones(n, dtype=bool),
+        val_mask=np.zeros(n, dtype=bool),
+        test_mask=np.zeros(n, dtype=bool),
+        central_mask=np.arange(n) < n // 2,
+    )
+    g = with_self_loops(graph_from_dict(data))
+    adj = adjacency_from_graph(g, method="blocked", node_block=16)
+    m0 = KTGNN(num_classes=c, layer_num=2, hidden=16, dropout=0.0)
+    mk = KTGNN(num_classes=c, layer_num=2, hidden=16, dropout=0.0,
+               fused_kernel_fwd=True, fused_kernel_bwd=True)
+    variables = m0.init(jax.random.PRNGKey(0), g, adj, False)
+
+    def loss(model):
+        def go(p):
+            outs, _ = model.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                g, adj, True, rngs={"dropout": jax.random.PRNGKey(1)},
+                mutable=["batch_stats"],
+            )
+            lp_s, lp_t, lp_that, _ = outs
+            sel = np.asarray(g.train_mask)
+            return -(lp_s[sel, 0].mean() + lp_t[sel, 1].mean()
+                     + lp_that[sel, 2].mean())
+        return go
+
+    g0 = jax.grad(loss(m0))(variables["params"])
+    gk = jax.grad(loss(mk))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(gk)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+        )

@@ -173,7 +173,8 @@ def test_fused_attention_kernel_compiled(rng):
     central = np.arange(n) < n // 2
     cf = jnp.asarray(central.astype(np.float32))
 
-    kfn = make_adapted_attention(ops, 0.1, kernel_fwd=True)
+    kfn = make_adapted_attention(ops, 0.1, kernel_fwd=True,
+                                 kernel_bwd=True)
     got = np.asarray(kfn(u1, u2, u1, u2, cf, a1, a2), np.float32)
     want = np.asarray(
         adapted_attention(
@@ -186,3 +187,32 @@ def test_fused_attention_kernel_compiled(rng):
     )
     scale = max(np.abs(want).max(), 1e-6)
     assert np.abs(got - want).max() / scale < 0.08
+
+    # compiled Mosaic backward kernel: grads finite and close to the
+    # autodiff XLA fused path (bf16 rounding-order tolerance)
+    cot = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    def loss_k(u1, u2):
+        return jnp.sum(
+            kfn(u1, u2, u1, u2, cf, a1, a2).astype(jnp.float32)
+            * cot
+        )
+
+    def loss_x(u1, u2):
+        return jnp.sum(
+            adapted_attention(
+                ops, u1, u2, jnp.asarray(central),
+                lambda h: (h @ a1.astype(h.dtype))[..., None],
+                lambda h: (h @ a2.astype(h.dtype))[..., None],
+                negative_slope=0.1,
+            ).astype(jnp.float32) * cot
+        )
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(u1, u2)
+    gx = jax.grad(loss_x, argnums=(0, 1))(u1, u2)
+    for a, b in zip(gk, gx):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.isfinite(a).all()
+        sc = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / sc < 0.35  # bf16 jacobian rounding

@@ -110,8 +110,19 @@ def main():
             ).astype(jnp.float32) * cot.astype(jnp.float32)
         )
 
+    kkfn = make_adapted_attention(
+        ops_k, 0.1, kernel_fwd=True, kernel_bwd=True
+    )
+
+    def loss_kk(u1, u2, a1_, a2_):
+        return jnp.sum(
+            kkfn(u1, u2, u1, u2, central, a1_, a2_).astype(jnp.float32)
+            * cot.astype(jnp.float32)
+        )
+
     gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2, 3)))
     gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2, 3)))
+    gkk = jax.jit(jax.grad(loss_kk, argnums=(0, 1, 2, 3)))
     try:
         g1 = gk(u1, u2, a1, a2)
         g2 = gx(u1, u2, a1, a2)
@@ -123,6 +134,17 @@ def main():
         out["fwdbwd_kernel_ms"] = round(timeit(gk, u1, u2, a1, a2), 3)
     except Exception as exc:  # noqa: BLE001
         out["bwd_kernel_error"] = repr(exc)[:300]
+    try:
+        g3 = gkk(u1, u2, a1, a2)
+        errs = [float(np.abs(np.asarray(a, np.float32)
+                             - np.asarray(b, np.float32)).max())
+                for a, b in zip(g3, g2)]
+        rel = [e / max(float(np.abs(np.asarray(b, np.float32)).max()), 1e-9)
+               for e, b in zip(errs, g2)]
+        out["kk_bwd_max_rel_errs"] = [round(x, 5) for x in rel]
+        out["fwdbwd_kernelboth_ms"] = round(timeit(gkk, u1, u2, a1, a2), 3)
+    except Exception as exc:  # noqa: BLE001
+        out["kk_bwd_error"] = repr(exc)[:300]
     print(json.dumps(out), flush=True)
     with open(_path(), "w") as fo:
         json.dump(out, fo, indent=1)

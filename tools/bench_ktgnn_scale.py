@@ -44,9 +44,17 @@ for n_nodes in (65536, 131072):
     g = build_graph(
         x, np.stack([s, r]), y=y, train_mask=train, central_mask=central
     )
-    adj = adjacency_from_graph(g, method="blocked")
+    # BGNN_KTGNN_KERNEL=1: full Mosaic kernel path (fwd+bwd attention
+    # kernels, nb=128 layout) — tools/bench_fused_kernel2.json
+    import os as _os
+
+    use_kernel = _os.environ.get("BGNN_KTGNN_KERNEL") == "1"
+    adj = adjacency_from_graph(
+        g, method="blocked", node_block=128 if use_kernel else 256
+    )
     assert adj.fast_fn is not None, "blocked ops unavailable (skew)"
-    model = KTGNN(num_classes=8, layer_num=2, hidden=64)
+    model = KTGNN(num_classes=8, layer_num=2, hidden=64,
+                  fused_kernel_fwd=use_kernel, fused_kernel_bwd=use_kernel)
     variables = model.init(jax.random.PRNGKey(0), g, adj, False)
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = torch_adam(1e-3, weight_decay=5e-4)
