@@ -87,3 +87,127 @@ def test_row_norm_weights(rng):
     for i in range(len(rr)):
         want = 1.0 / deg[rr[i]] if em[i] and deg[rr[i]] > 0 else 0.0
         np.testing.assert_allclose(w[i], want, rtol=1e-6)
+
+
+def _spline_oracle(x, senders, receivers, edge_mask, pseudo, W, root, bias,
+                   kernel_size=2):
+    """Numpy degree-1 open-spline conv oracle (mean aggregation)."""
+    n = x.shape[0]
+    K, f_in, f_out = W.shape
+    agg = np.zeros((n, f_out))
+    deg = np.zeros(n)
+    for e in range(len(senders)):
+        if not edge_mask[e]:
+            continue
+        u = min(max(float(pseudo[e, 0]), 0.0), 1.0) * (kernel_size - 1)
+        lo = int(np.floor(u))
+        frac = u - lo
+        hi = min(lo + 1, kernel_size - 1)
+        msg = (1.0 - frac) * (x[senders[e]] @ W[lo]) \
+            + frac * (x[senders[e]] @ W[hi])
+        agg[receivers[e]] += msg
+        deg[receivers[e]] += 1
+    out = agg / np.maximum(deg, 1.0)[:, None]
+    return out + x @ root + bias
+
+
+def test_splineconv_matches_oracle(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from bridged_gnn_tpu.graph import build_graph
+    from bridged_gnn_tpu.nn.backbones import SplineConv
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    n, e, d, out = 18, 50, 6, 5
+    ei = rng.integers(0, n, size=(2, e))
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    g = build_graph(x, ei)
+    pseudo = rng.random((g.num_edges_padded, 1)).astype(np.float32)
+    for method in ("dense", "gather"):
+        adj = adjacency_from_graph(g, method=method)
+        conv = SplineConv(out, dim=1, kernel_size=2)
+        params = conv.init(jax.random.PRNGKey(0), g.x, adj,
+                           jnp.asarray(pseudo))
+        got = np.asarray(conv.apply(params, g.x, adj, jnp.asarray(pseudo)))
+        p = params["params"]
+        expect = _spline_oracle(
+            np.asarray(g.x), np.asarray(g.senders), np.asarray(g.receivers),
+            np.asarray(g.edge_mask), pseudo,
+            np.asarray(p["weight"]), np.asarray(p["root"]["kernel"]),
+            np.asarray(p["bias"]),
+        )
+        np.testing.assert_allclose(got[:n], expect[:n], rtol=2e-4, atol=2e-4)
+
+
+def test_spline_basis_partition_of_unity(rng):
+    import jax.numpy as jnp
+
+    from bridged_gnn_tpu.nn.backbones import spline_basis
+
+    e = 64
+    pseudo = rng.random((e, 2)).astype(np.float32)
+    mask = rng.random(e) < 0.7
+    b = np.asarray(spline_basis(jnp.asarray(pseudo), (3, 2),
+                                jnp.asarray(mask)))
+    assert b.shape == (e, 6)
+    np.testing.assert_allclose(b.sum(1), mask.astype(np.float32), atol=1e-6)
+    assert (b >= -1e-7).all()
+
+
+def test_convnet_trains(rng):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bridged_gnn_tpu.graph import build_graph
+    from bridged_gnn_tpu.nn.backbones import ConvNet
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    n, e, d, c = 60, 240, 8, 3
+    y = rng.integers(0, c, size=n)
+    x = rng.normal(size=(n, d)).astype(np.float32) + np.eye(d)[y % d] * 2
+    ei = rng.integers(0, n, size=(2, e))
+    g = build_graph(x, ei, y=y)
+    adj = adjacency_from_graph(g)
+    pseudo = jnp.asarray(rng.random((g.num_edges_padded, 1)),
+                         dtype=jnp.float32)
+    model = ConvNet(c)
+    params = model.init(jax.random.PRNGKey(0), g, adj, pseudo=pseudo)
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+    yj = jnp.asarray(np.pad(y, (0, g.num_nodes_padded - n)))
+    nm = g.node_mask
+
+    @jax.jit
+    def step(params, state):
+        def loss_fn(p):
+            logp = model.apply(p, g, adj, pseudo=pseudo)
+            nll = -jnp.take_along_axis(logp, yj[:, None], axis=1)[:, 0]
+            return jnp.sum(jnp.where(nm, nll, 0.0)) / jnp.sum(nm)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    losses = []
+    for _ in range(30):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8
+
+
+def test_convnet_requires_pseudo(rng):
+    import jax
+    import pytest as _pytest
+
+    from bridged_gnn_tpu.graph import build_graph
+    from bridged_gnn_tpu.nn.backbones import ConvNet
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    x = rng.normal(size=(10, 4)).astype(np.float32)
+    ei = rng.integers(0, 10, size=(2, 20))
+    g = build_graph(x, ei)
+    adj = adjacency_from_graph(g)
+    with _pytest.raises(ValueError, match="pseudo"):
+        ConvNet(3).init(jax.random.PRNGKey(0), g, adj)
