@@ -43,6 +43,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=10)
     ap.add_argument("--ckpt_dir", type=str, default="../ckpt")
+    # None = framework default ('highest', reference-parity fp32).
+    # 'default'/'bfloat16' is the production knob: MXU-native matmul
+    # passes, and on the TPU backend the Mosaic attention kernels
+    # auto-engage (ops/pallas_fused.auto_kernel)
+    ap.add_argument("--matmul_precision", type=str, default=None,
+                    choices=["highest", "float32", "default", "bfloat16"])
     return ap
 
 
@@ -79,6 +85,7 @@ def main(args):
             use_scheduler=False, metric=args.eval_metric,
             to_undirected=args.to_undirected, seed=args.seed,
             log_every=args.log_every, save_best_path=save_best_path,
+            matmul_precision=args.matmul_precision,
         )
     else:
         cfg = Stage2Config(
@@ -87,6 +94,7 @@ def main(args):
             metric=args.eval_metric, to_undirected=args.to_undirected,
             seed=args.seed, log_every=args.log_every,
             save_best_path=save_best_path,
+            matmul_precision=args.matmul_precision,
         )
     res = train_ktgnn(data, cfg)
     print("[stage-2 best]", {k: v for k, v in res["best"].items()

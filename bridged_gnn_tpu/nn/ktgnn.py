@@ -53,16 +53,17 @@ class AdaptedConv(nn.Module):
     use_fused: bool = True
     # opt-in memory-lean fused backward (recompute instead of residuals)
     fused_recompute_bwd: bool = False
-    # opt-in single-Mosaic-kernel forward (ops/pallas_fused.py): 1.61x the
-    # XLA fused forward on v5e (tools/bench_fused_kernel2.json) — the
-    # inference fast path
-    fused_kernel_fwd: bool = False
-    # opt-in Mosaic backward kernel: with fused_kernel_fwd the full
-    # fwd+bwd measures 54.0 ms vs 64.7 ms autodiff-XLA (1.20x) at bench
-    # scale — the fastest training path; off by default because its bf16
-    # rounding order differs from autodiff (f32 parity is 1e-4,
-    # tests/test_pallas_fused.py)
-    fused_kernel_bwd: bool = False
+    # single-Mosaic-kernel forward (ops/pallas_fused.py): 1.61x the
+    # XLA fused forward on v5e (tools/bench_fused_kernel2.json).
+    # None = auto (pallas_fused.auto_kernel): ON whenever running on the
+    # TPU backend outside fp32-parity precision mode — parity runs keep
+    # the deterministic autodiff ordering (kernel rounding order differs;
+    # f32 interpret parity is 1e-4, tests/test_pallas_fused.py)
+    fused_kernel_fwd: Optional[bool] = None
+    # Mosaic backward kernel: with the forward kernel the full fwd+bwd
+    # measures 54.0 ms vs 64.7 ms autodiff-XLA (1.20x) at bench scale —
+    # the fastest training path. None = same auto policy
+    fused_kernel_bwd: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -105,10 +106,20 @@ class AdaptedConv(nn.Module):
             and not (self.aggregate_dense and adj.use_dense)
         )
         if fused_ok:
-            kernel_ok = False
-            if self.fused_kernel_fwd:
-                from bridged_gnn_tpu.ops import pallas_fused
+            from bridged_gnn_tpu.ops import pallas_fused
 
+            kernel_fwd = (
+                pallas_fused.auto_kernel()
+                if self.fused_kernel_fwd is None
+                else self.fused_kernel_fwd
+            )
+            kernel_bwd = (
+                pallas_fused.auto_kernel()
+                if self.fused_kernel_bwd is None
+                else self.fused_kernel_bwd
+            )
+            kernel_ok = False
+            if kernel_fwd:
                 lay = adj.fast_fn.lay_dst
                 kernel_ok = pallas_fused.fits_vmem(
                     lay.tile_e, lay.node_block, self.out_channels
@@ -128,12 +139,10 @@ class AdaptedConv(nn.Module):
                 a1 = ParamKernel(self.out_channels, name="a_f_t2s")()[:, 0]
                 a2 = ParamKernel(self.out_channels, name="a_f_s2t")()[:, 0]
                 if kernel_ok:
-                    from bridged_gnn_tpu.ops import pallas_fused
-
                     fn = make_adapted_attention(
                         adj.fast_fn, self.negative_slope,
                         kernel_fwd=True,
-                        kernel_bwd=self.fused_kernel_bwd,
+                        kernel_bwd=kernel_bwd,
                         interpret=pallas_fused.default_interpret(),
                     )
                 else:
@@ -389,10 +398,11 @@ class KTGNN(nn.Module):
     # memory-lean fused-attention backward (recompute instead of storing
     # [B,Et,D] residuals) in every AdaptedConv — see AdaptedConv docs
     fused_recompute_bwd: bool = False
-    # single-Mosaic-kernel attention forward (inference fast path)
-    fused_kernel_fwd: bool = False
-    # + Mosaic backward kernel (fastest bf16 training path, opt-in)
-    fused_kernel_bwd: bool = False
+    # single-Mosaic-kernel attention forward; None = auto — ON on the TPU
+    # backend outside fp32-parity precision mode (pallas_fused.auto_kernel)
+    fused_kernel_fwd: Optional[bool] = None
+    # + Mosaic backward kernel (fastest training path); None = same auto
+    fused_kernel_bwd: Optional[bool] = None
     # feature-complementor options (reference KTGNN.py:340-341; all run.sh
     # configs use need_complement=False)
     need_complement: bool = False

@@ -61,6 +61,28 @@ def default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# fp32-parity precisions: the package pins 'highest' at import for
+# reference-parity runs; the kernels pin DEFAULT-precision dots in-VMEM
+# (HIGHEST lowering crashes Mosaic here), so they would break fp32
+# reproducibility and stay off in parity mode.
+_PARITY_PRECISIONS = ("highest", "float32")
+
+
+def auto_kernel() -> bool:
+    """Resolve the ``None`` (auto) value of the fused-kernel flags.
+
+    The Mosaic attention kernels are the fastest measured training path
+    (fwd 1.61x, fwd+bwd 1.20x vs the fused-XLA autodiff formulation at
+    131k nodes / 2M edges — tools/bench_fused_kernel2.json), so they are
+    the production default whenever they can run natively: on the TPU
+    backend and outside fp32-parity precision mode.  ``fits_vmem`` still
+    gates per-layout at the call site.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.config.jax_default_matmul_precision not in _PARITY_PRECISIONS
+
+
 def _attention_kernel(
     rel_ref,    # [1, Et/128, 128] int32 — rel dst key per slot
     m_ref,      # [1, Et, 2D] bf16 — gathered sender rows [m1 ‖ m2]

@@ -16,7 +16,7 @@ is new capability surfaced by the framework design.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,8 @@ class KTGNNPredictor:
     def __init__(self, model, variables, data: Dict[str, np.ndarray],
                  to_undirected: bool = True,
                  adjacency_method: str = "auto",
-                 kernel_fwd: bool = False):
+                 kernel_fwd: Optional[bool] = None):
+        from bridged_gnn_tpu.ops import pallas_fused
         from bridged_gnn_tpu.train.stage2 import to_undirected_np
 
         if to_undirected:
@@ -44,6 +45,9 @@ class KTGNNPredictor:
         # XLA fused forward on v5e (tools/bench_fused_kernel.json). The
         # nb=128 layout keeps the kernel inside its VMEM envelope; the
         # model is cloned with the flag (weights are unaffected).
+        # None = auto: ON on the TPU backend outside fp32-parity mode.
+        if kernel_fwd is None:
+            kernel_fwd = pallas_fused.auto_kernel()
         if kernel_fwd and hasattr(model, "fused_kernel_fwd"):
             model = model.clone(fused_kernel_fwd=True)
             if adjacency_method == "auto":

@@ -225,3 +225,94 @@ def test_ktgnn_kernel_both_grads_match(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_auto_kernel_policy():
+    """None-valued kernel flags resolve via pallas_fused.auto_kernel:
+    off on the CPU backend and in fp32-parity precision mode; on only
+    when both the TPU backend and a non-parity precision are active."""
+    import jax
+
+    from bridged_gnn_tpu.ops import pallas_fused
+
+    # CPU test process: backend gate keeps auto off in any precision.
+    assert pallas_fused.auto_kernel() is False
+    with jax.default_matmul_precision("default"):
+        assert pallas_fused.auto_kernel() is False
+
+    # precision gate, independent of backend
+    for p in pallas_fused._PARITY_PRECISIONS:
+        with jax.default_matmul_precision(p):
+            assert (jax.config.jax_default_matmul_precision
+                    in pallas_fused._PARITY_PRECISIONS)
+
+
+def test_explicit_false_overrides_auto(rng):
+    """fused_kernel_fwd=False must never enter the kernel path even if
+    auto would say yes (monkeypatched)."""
+    import jax
+    import numpy as np
+
+    from bridged_gnn_tpu.graph import build_graph
+    from bridged_gnn_tpu.nn.ktgnn import KTGNN
+    from bridged_gnn_tpu.ops import pallas_fused
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    n, e = 700, 2100
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    ei = rng.integers(0, n, size=(2, e))
+    y = rng.integers(0, 3, size=n)
+    central = np.zeros(n, bool)
+    central[: n // 2] = True
+    g = build_graph(x, ei, y=y, central_mask=central)
+    adj = adjacency_from_graph(g, method="blocked", node_block=128)
+
+    orig = pallas_fused.auto_kernel
+    calls = {"n": 0}
+
+    def fake_auto():
+        calls["n"] += 1
+        return True
+
+    pallas_fused.auto_kernel = fake_auto
+    try:
+        # explicit False: auto is never consulted for that flag and the
+        # XLA path runs (interpret-mode Mosaic would still work on CPU,
+        # but kernel selection must honor the override)
+        m = KTGNN(num_classes=3, layer_num=2, hidden=8,
+                  fused_kernel_fwd=False, fused_kernel_bwd=False)
+        v = m.init(jax.random.PRNGKey(0), g, adj, False)
+        out, _ = m.apply(v, g, adj, False,
+                         mutable=["batch_stats"])[0][:2]
+        assert np.isfinite(np.asarray(out)).all()
+        assert calls["n"] == 0
+    finally:
+        pallas_fused.auto_kernel = orig
+
+
+def test_auto_kernel_matches_explicit_on_cpu(rng):
+    """With auto resolving False on CPU, default-flag KTGNN must equal
+    the explicit fused_kernel_fwd=False model bit-for-bit."""
+    import jax
+    import numpy as np
+
+    from bridged_gnn_tpu.graph import build_graph
+    from bridged_gnn_tpu.nn.ktgnn import KTGNN
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    n, e = 600, 1800
+    x = rng.normal(size=(n, 10)).astype(np.float32)
+    ei = rng.integers(0, n, size=(2, e))
+    y = rng.integers(0, 3, size=n)
+    central = np.zeros(n, bool)
+    central[: n // 2] = True
+    g = build_graph(x, ei, y=y, central_mask=central)
+    adj = adjacency_from_graph(g, method="blocked", node_block=128)
+
+    m_auto = KTGNN(num_classes=3, layer_num=2, hidden=8)
+    m_off = KTGNN(num_classes=3, layer_num=2, hidden=8,
+                  fused_kernel_fwd=False, fused_kernel_bwd=False)
+    v = m_auto.init(jax.random.PRNGKey(1), g, adj, False)
+    oa = m_auto.apply(v, g, adj, False, mutable=["batch_stats"])[0][0]
+    ob = m_off.apply(v, g, adj, False, mutable=["batch_stats"])[0][0]
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))

@@ -216,3 +216,48 @@ def test_fused_attention_kernel_compiled(rng):
         assert np.isfinite(a).all()
         sc = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / sc < 0.35  # bf16 jacobian rounding
+
+
+def test_auto_kernel_engages_on_chip(rng):
+    """The None (auto) fused-kernel flags must switch KTGNN onto the
+    Mosaic attention kernel on the TPU backend once the caller leaves
+    fp32-parity precision mode — the production default policy."""
+    from bridged_gnn_tpu.graph import build_graph
+    from bridged_gnn_tpu.nn.ktgnn import KTGNN
+    from bridged_gnn_tpu.ops import pallas_fused
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+    assert pallas_fused.auto_kernel() is False  # package parity default
+    with jax.default_matmul_precision("default"):
+        assert pallas_fused.auto_kernel() is True
+
+        n, e = 20000, 120000
+        x = rng.normal(size=(n, 32)).astype(np.float32)
+        ei = rng.integers(0, n, size=(2, e))
+        y = rng.integers(0, 4, size=n)
+        central = np.zeros(n, bool)
+        central[: n // 2] = True
+        g = build_graph(x, ei, y=y, central_mask=central)
+        adj = adjacency_from_graph(g, method="blocked", node_block=128)
+        assert adj.fast_fn is not None
+
+        # count kernel-path entries via fits_vmem (only consulted when
+        # the kernel forward is selected)
+        calls = {"n": 0}
+        orig = pallas_fused.fits_vmem
+
+        def counting(te, nb, d):
+            calls["n"] += 1
+            return orig(te, nb, d)
+
+        pallas_fused.fits_vmem = counting
+        try:
+            m = KTGNN(num_classes=4, layer_num=2, hidden=32)
+            v = m.init(jax.random.PRNGKey(0), g, adj, False)
+            (logs, _, _, _), _ = m.apply(
+                v, g, adj, False, mutable=["batch_stats"]
+            )
+            assert np.isfinite(np.asarray(logs)).all()
+        finally:
+            pallas_fused.fits_vmem = orig
+        assert calls["n"] > 0
