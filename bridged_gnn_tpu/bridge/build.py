@@ -103,6 +103,7 @@ def _topk_grid(
     sim_mode: str,
     row_block: int,
     mesh=None,
+    approx_recall=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Row-wise top-k of the pair-similarity matrix: (values [R,k],
     column indices [R,k])."""
@@ -124,7 +125,7 @@ def _topk_grid(
                 mlp_bias1=jnp.asarray(d["bias"]),
                 mlp_w2=jnp.asarray(d["w2"]),
                 mlp_b2=jnp.asarray(np.float32(d["b2"])),
-                row_block=row_block,
+                row_block=row_block, approx_recall=approx_recall,
             )
         else:
             fn = pair_mlp_score_block(
@@ -133,7 +134,8 @@ def _topk_grid(
                 jnp.asarray(np.float32(d["b2"])),
             )
             vals, idxs = blockwise_pair_scores_topk(
-                fn, n_rows, n_cols, k, row_block=row_block
+                fn, n_rows, n_cols, k, row_block=row_block,
+                approx_recall=approx_recall,
             )
     elif sim_mode == "cosine":
         a_rows = _embed_cosine_side(variables, z_rows).astype(np.float32)
@@ -146,11 +148,13 @@ def _topk_grid(
             vals, idxs = sharded_pair_topk(
                 mesh, jnp.asarray(a_pad), jnp.asarray(b_cols),
                 n_rows, n_cols, k, mode="cosine", row_block=row_block,
+                approx_recall=approx_recall,
             )
         else:
             fn = cosine_score_block(jnp.asarray(a_pad), jnp.asarray(b_cols))
             vals, idxs = blockwise_pair_scores_topk(
-                fn, n_rows, n_cols, k, row_block=row_block
+                fn, n_rows, n_cols, k, row_block=row_block,
+                approx_recall=approx_recall,
             )
     else:
         raise ValueError(sim_mode)
@@ -190,7 +194,7 @@ def propose_cross_edges(
     model, variables, g_src, adj_src, g_tar, adj_tar,
     k: int, row_block: int = 512, sim_mode: str = "mlp",
     epsilon: float = 0.5,  # accepted and unused — reference parity (:33)
-    mesh=None,
+    mesh=None, approx_recall=None,
 ):
     """Top-k source neighbors for every target node.
 
@@ -202,7 +206,8 @@ def propose_cross_edges(
     """
     z_src, z_tar = _encode(model, variables, g_src, adj_src, g_tar, adj_tar)
     vals, idxs = _topk_grid(
-        variables, z_tar, z_src, k, sim_mode, row_block, mesh
+        variables, z_tar, z_src, k, sim_mode, row_block, mesh,
+        approx_recall=approx_recall,
     )
     n_tar = g_tar.num_nodes
     tar_idx = np.repeat(np.arange(n_tar), k)
@@ -220,6 +225,7 @@ def propose_cross_edges(
 def propose_within_edges(
     model, variables, g, adj, domain: str, k: int,
     row_block: int = 512, sim_mode: str = "mlp", mesh=None,
+    approx_recall=None,
 ):
     """Top-k within-domain neighbors for every node (self-pairs retained,
     like the reference — main_bridged_graph.py:97). Returns flat sim-aligned
@@ -236,7 +242,8 @@ def propose_within_edges(
         variables, g.x, adj, g.node_mask, False, method=method
     )
     z = np.asarray(z)[: g.num_nodes].astype(np.float32)
-    vals, idxs = _topk_grid(variables, z, z, k, sim_mode, row_block, mesh)
+    vals, idxs = _topk_grid(variables, z, z, k, sim_mode, row_block, mesh,
+                            approx_recall=approx_recall)
     n = g.num_nodes
     to_idx = np.repeat(np.arange(n), k)
     from_idx = idxs.reshape(-1)
@@ -339,7 +346,7 @@ def gen_bridged_graph(
     check_cross: bool = False, check_within: bool = False,
     thres_conf_quantile: float = 0.1, thres_feat_sim: float = 0.0,
     sim_mode: str = "mlp", epsilon: float = 0.5, row_block: int = 512,
-    mesh=None, verbose: bool = False,
+    mesh=None, verbose: bool = False, approx_recall=None,
 ) -> Dict[str, np.ndarray]:
     """End-to-end bridge construction (reference
     main_bridged_graph.py:267-321). Returns the merged + reordered graph
@@ -347,6 +354,7 @@ def gen_bridged_graph(
     ei_cross, sims, p_src, p_tar, homo = propose_cross_edges(
         model, variables, g_src, adj_src, g_tar, adj_tar, k_cross,
         row_block=row_block, sim_mode=sim_mode, epsilon=epsilon, mesh=mesh,
+        approx_recall=approx_recall,
     )
     if verbose:
         print(f"cross proposals: {ei_cross.shape[1]} (homophily {homo:.4f})")
@@ -367,10 +375,12 @@ def gen_bridged_graph(
         ei_within_src, sims_s = propose_within_edges(
             model, variables, g_src, adj_src, "source", k_within,
             row_block=row_block, sim_mode=sim_mode, mesh=mesh,
+            approx_recall=approx_recall,
         )
         ei_within_tar, sims_t = propose_within_edges(
             model, variables, g_tar, adj_tar, "target", k_within,
             row_block=row_block, sim_mode=sim_mode, mesh=mesh,
+            approx_recall=approx_recall,
         )
         if check_within:
             # hardcoded thresholds mirror the reference call site

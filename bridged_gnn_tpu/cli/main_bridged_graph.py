@@ -64,6 +64,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--k_within", type=int, default=6)
     ap.add_argument("--k_cross", type=int, default=20)
     ap.add_argument("--batch_size", type=int, default=1000)
+    # None = exact top-k (reference parity); a float in (0,1] uses the
+    # TPU-native approx_max_k selector at that recall target (11x sweep
+    # speedup at 0.95 — production knob, tools/probe_topk_cosine.json)
+    ap.add_argument("--topk_recall", type=float, default=None)
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--max_class_num", type=int, default=10)
     ap.add_argument("--eval_mode", type=str, default="sampling",
@@ -140,6 +144,7 @@ def main(args):
         # (main_bridged_graph.py:45,90); here it sets the SDDMM row tile
         row_block=args.batch_size,
         verbose=args.verbose,
+        approx_recall=args.topk_recall,
     )
     h1, h2 = eval_homophily(merged)
     local = eval_bridged_graph(merged)

@@ -28,6 +28,11 @@ class BridgeConfig:
     thres_feat_sim: float = 0.8
     epsilon: float = 0.5          # accepted and unused (reference parity)
     row_block: int = 512
+    # None = exact top-k (reference torch.topk parity). A float in (0,1]
+    # switches proposal selection to TPU-native lax.approx_max_k with that
+    # per-element recall target — 11x faster sweeps at 0.95
+    # (tools/probe_topk_cosine.json); production knob
+    approx_recall: "float | None" = None
 
 
 @dataclasses.dataclass

@@ -34,6 +34,7 @@ def blockwise_pair_scores_topk(
     k: int,
     row_block: int = 512,
     col_mask: jax.Array | None = None,
+    approx_recall: float | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Compute per-row top-k of an implicitly defined score matrix.
 
@@ -44,6 +45,15 @@ def blockwise_pair_scores_topk(
       k: top-k per row.
       row_block: row tile size (static).
       col_mask: optional [num_cols_padded] bool — invalid columns score -inf.
+      approx_recall: None (default) = exact ``lax.top_k`` — reference
+        parity (torch.topk semantics, main_bridged_graph.py:60). A float
+        in (0, 1] switches selection to the TPU-native
+        ``lax.approx_max_k`` (PartialReduce) with that per-element recall
+        target — the production knob: at 49k×49k / k=20 the exact sort is
+        92 % of sweep time (12.1 Gpairs/s); recall_target 0.95 measures
+        134.7 Gpairs/s at 0.977 observed recall, 0.99 measures 55.2 at
+        0.9977 (tools/probe_topk_cosine.json). On CPU/GPU approx_max_k
+        falls back to an exact sort, so the knob is TPU-only in effect.
 
     Returns:
       (values [num_rows_padded, k], indices [num_rows_padded, k]) with rows
@@ -62,7 +72,13 @@ def blockwise_pair_scores_topk(
         if col_mask is not None:
             col_valid = col_valid & col_mask
         scores = jnp.where(col_valid[None, :], scores, _NEG_INF)
-        vals, idxs = jax.lax.top_k(scores, k)
+        if approx_recall is not None:
+            vals, idxs = jax.lax.approx_max_k(
+                scores, k, recall_target=float(approx_recall),
+                aggregate_to_topk=True,
+            )
+        else:
+            vals, idxs = jax.lax.top_k(scores, k)
         return vals, idxs.astype(jnp.int32)
 
     vals, idxs = jax.lax.map(one_block, row_ids)

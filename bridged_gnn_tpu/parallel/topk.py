@@ -37,6 +37,7 @@ def sharded_pair_topk(
     mlp_b2: Optional[jax.Array] = None,
     row_block: int = 512,
     axis: str = "edges",
+    approx_recall: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (values [R_pad, k], global col indices [R_pad, k]),
     replicated on all devices."""
@@ -59,6 +60,7 @@ def sharded_pair_topk(
         vals, idxs = blockwise_pair_scores_topk(
             fn, num_rows, c_local, min(k, c_local),
             row_block=row_block, col_mask=valid_shard,
+            approx_recall=approx_recall,
         )
         offset = jax.lax.axis_index(axis) * c_local
         gidx = idxs + offset

@@ -59,6 +59,7 @@ def run_pipeline(
         thres_feat_sim=cfg.bridge.thres_feat_sim,
         sim_mode=cfg.stage1.sim_mode, epsilon=cfg.bridge.epsilon,
         row_block=cfg.bridge.row_block, mesh=mesh,
+        approx_recall=cfg.bridge.approx_recall,
     )
     diagnostics = dict(
         homophily=eval_homophily(merged),

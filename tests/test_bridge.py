@@ -207,3 +207,27 @@ def test_gen_bridged_graph_end_to_end(model_and_vars, rng):
     assert tar2src.sum() == 0
     src2tar = central[ei[0]] & (~central[ei[1]])
     assert src2tar.sum() > 0
+
+
+def test_gen_bridged_graph_approx_recall_plumbing(model_and_vars, rng):
+    """approx_recall threads end to end; CPU approx_max_k is an exact
+    sort, so the bridged graph must be identical to the exact run."""
+    model, variables = model_and_vars
+    src_d, tar_d = _synthetic_domains(rng)
+    g_src = graph_from_dict(src_d)
+    g_tar = graph_from_dict(tar_d)
+    m_src = {i: i for i in range(50)}
+    m_tar = {i + 50: i for i in range(35)}
+    kw = dict(
+        k_cross=4, k_within=2, check_cross=False, check_within=False,
+        thres_conf_quantile=0.1, thres_feat_sim=0.0, sim_mode="mlp",
+        row_block=16,
+    )
+    exact = gen_bridged_graph(
+        model, variables, g_src, None, g_tar, None, m_src, m_tar, **kw
+    )
+    approx = gen_bridged_graph(
+        model, variables, g_src, None, g_tar, None, m_src, m_tar,
+        approx_recall=0.95, **kw
+    )
+    np.testing.assert_array_equal(exact["edge_index"], approx["edge_index"])

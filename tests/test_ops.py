@@ -176,3 +176,21 @@ def test_pair_mlp_score_block(rng):
         np.testing.assert_allclose(
             np.asarray(vals)[i], np.sort(scores[i])[-3:][::-1], rtol=1e-5
         )
+
+
+def test_blockwise_topk_approx_recall_plumbing(rng):
+    """approx_recall path: on CPU approx_max_k falls back to an exact
+    sort, so values/indices must equal the exact selector — this guards
+    the plumbing; on-chip recall is asserted in the TPU lane."""
+    nt, ns, d, k = 37, 53, 16, 5
+    zt = rng.normal(size=(nt, d)).astype(np.float32)
+    zs = rng.normal(size=(ns, d)).astype(np.float32)
+    zt_pad = np.zeros((64, d), dtype=np.float32)
+    zt_pad[:nt] = zt
+    fn = cosine_score_block(jnp.asarray(zt_pad), jnp.asarray(zs))
+    ve, ie = blockwise_pair_scores_topk(fn, nt, ns, k, row_block=16)
+    va, ia = blockwise_pair_scores_topk(fn, nt, ns, k, row_block=16,
+                                        approx_recall=0.95)
+    np.testing.assert_allclose(np.asarray(ve)[:nt], np.asarray(va)[:nt],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ie)[:nt], np.asarray(ia)[:nt])

@@ -261,3 +261,27 @@ def test_auto_kernel_engages_on_chip(rng):
         finally:
             pallas_fused.fits_vmem = orig
         assert calls["n"] > 0
+
+
+def test_approx_topk_recall_on_chip(rng):
+    """lax.approx_max_k selection in the SDDMM harness: observed recall
+    on cosine scores must meet the recall target (production knob,
+    11x faster than the exact sort at 49k scale —
+    tools/probe_topk_cosine.json)."""
+    from bridged_gnn_tpu.ops.sddmm import (
+        blockwise_pair_scores_topk,
+        cosine_score_block,
+    )
+
+    nt, ns, d, k = 2048, 8192, 64, 20
+    zt = rng.normal(size=(nt, d)).astype(np.float32)
+    zs = rng.normal(size=(ns, d)).astype(np.float32)
+    fn = cosine_score_block(jnp.asarray(zt), jnp.asarray(zs))
+    ve, ie = blockwise_pair_scores_topk(fn, nt, ns, k, row_block=512)
+    va, ia = blockwise_pair_scores_topk(fn, nt, ns, k, row_block=512,
+                                        approx_recall=0.95)
+    ie, ia = np.asarray(ie)[:nt], np.asarray(ia)[:nt]
+    recall = np.mean(
+        [len(set(ie[r]) & set(ia[r])) / k for r in range(nt)]
+    )
+    assert recall >= 0.93, recall
