@@ -122,7 +122,8 @@ class AdaptedConv(nn.Module):
             if kernel_fwd:
                 lay = adj.fast_fn.lay_dst
                 kernel_ok = pallas_fused.fits_vmem(
-                    lay.tile_e, lay.node_block, self.out_channels
+                    lay.tile_e, lay.node_block, self.out_channels,
+                    itemsize=2 if x.dtype == jnp.bfloat16 else 4,
                 )
             if kernel_ok or self.fused_recompute_bwd:
                 # custom-VJP variants. kernel_fwd: the whole attention

@@ -44,15 +44,26 @@ _DOT = dict(
 )
 _NEG = -1e30
 
-# measured VMEM envelope: nb=256/Et=4352/D=128 overflows the compile
-# helper, nb=128/Et=2176 and nb=256/Et=2048 compile (probe round 3)
+# measured VMEM envelope: nb=256/Et=4352/D=128 bf16 overflows the compile
+# helper, nb=128/Et=2176 bf16 and nb=256/Et=2048 compile (probe round 3);
+# nb=256/Et=6912/D=16 f32 OOMs at 23.4M scoped (16M hard limit) — the
+# one-hot scratch plus Mosaic's two contraction copies of it dominate
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def fits_vmem(tile_e: int, node_block: int, dch: int) -> bool:
-    """Conservative working-set estimate for one grid step: bf16 msg
-    (double-buffered) + ~3 live [Et, 2D] f32 temps + the one-hot scratch."""
-    est = tile_e * dch * 32 + 2 * node_block * tile_e
+def fits_vmem(
+    tile_e: int, node_block: int, dch: int, itemsize: int = 4
+) -> bool:
+    """Working-set estimate for one grid step, fit to the measured
+    envelope above: the [nb, Et] one-hot scratch is read by dot_generals
+    in both contraction orientations (~3.5 copies live), the msg block is
+    double-buffered, and z/h temps are [Et, 2D] f32.  ``itemsize`` is the
+    msg dtype's (2 for bf16, 4 for f32 — f32 halves the admissible Et)."""
+    est = (
+        3.5 * node_block * tile_e * itemsize
+        + 4 * tile_e * dch * itemsize
+        + 16 * tile_e * dch
+    )
     return est <= _VMEM_BUDGET
 
 

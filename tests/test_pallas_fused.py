@@ -316,3 +316,20 @@ def test_auto_kernel_matches_explicit_on_cpu(rng):
     oa = m_auto.apply(v, g, adj, False, mutable=["batch_stats"])[0][0]
     ob = m_off.apply(v, g, adj, False, mutable=["batch_stats"])[0][0]
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
+
+
+def test_fits_vmem_measured_envelope():
+    """Pin the VMEM gate to the measured envelope: configurations proven
+    to compile stay admitted; configurations that OOM'd the 16M scoped
+    limit stay rejected (nb=256/Et=6912/D=16 f32 hit 23.4M —
+    large-pipeline smoke; nb=256/Et=4352/D=128 bf16 overflowed the
+    compile helper — probe round 3)."""
+    from bridged_gnn_tpu.ops.pallas_fused import fits_vmem
+
+    # proven good
+    assert fits_vmem(2176, 128, 128, itemsize=2)   # bench config (bf16)
+    assert fits_vmem(2176, 128, 64, itemsize=4)    # scale bench (f32)
+    assert fits_vmem(2048, 256, 64, itemsize=2)
+    # proven bad
+    assert not fits_vmem(6912, 256, 16, itemsize=4)
+    assert not fits_vmem(4352, 256, 128, itemsize=2)

@@ -246,9 +246,9 @@ def test_auto_kernel_engages_on_chip(rng):
         calls = {"n": 0}
         orig = pallas_fused.fits_vmem
 
-        def counting(te, nb, d):
+        def counting(te, nb, d, itemsize=4):
             calls["n"] += 1
-            return orig(te, nb, d)
+            return orig(te, nb, d, itemsize)
 
         pallas_fused.fits_vmem = counting
         try:
