@@ -145,7 +145,16 @@ def prepare_stage2_graph(
     g = graph_from_dict(data)
     if cfg.model_name in SELF_LOOP_MODELS or cfg.model_name == "KTGNN_noDTC":
         g = with_self_loops(g)
-    adj = adjacency_from_graph(g, method=cfg.adjacency_method)
+    # When the Mosaic kernel auto-policy is active (TPU backend outside
+    # fp32-parity precision), build the nb=128 slot layout — the kernel's
+    # VMEM envelope rejects the default nb=256 layout for f32 message
+    # blocks at production hidden sizes (ops/pallas_fused.fits_vmem)
+    from bridged_gnn_tpu.ops import pallas_fused
+
+    node_block = 128 if pallas_fused.auto_kernel() else 256
+    adj = adjacency_from_graph(
+        g, method=cfg.adjacency_method, node_block=node_block
+    )
     return g, adj
 
 

@@ -285,3 +285,44 @@ def test_approx_topk_recall_on_chip(rng):
         [len(set(ie[r]) & set(ia[r])) / k for r in range(nt)]
     )
     assert recall >= 0.93, recall
+
+
+def test_train_ktgnn_production_mode_uses_kernel(rng):
+    """train_ktgnn with matmul_precision='default' on the chip must build
+    the nb=128 layout and enter the Mosaic kernel path (auto policy end
+    to end through the stage-2 driver)."""
+    from bridged_gnn_tpu.ops import pallas_fused
+    from bridged_gnn_tpu.train.stage2 import Stage2Config, train_ktgnn
+
+    n, e, c = 20000, 120000, 4
+    y = rng.integers(0, c, size=n)
+    x = rng.normal(size=(n, 32)).astype(np.float32)
+    central = np.zeros(n, bool)
+    central[: n // 2] = True
+    r = rng.random(n)
+    data = dict(
+        x=x, edge_index=rng.integers(0, n, size=(2, e)), y=y,
+        train_mask=r < 0.6, val_mask=(r >= 0.6) & (r < 0.8),
+        test_mask=r >= 0.8, central_mask=central,
+    )
+    calls = {"n": 0, "ok": 0}
+    orig = pallas_fused.fits_vmem
+
+    def counting(te, nb, d, itemsize=4):
+        res = orig(te, nb, d, itemsize)
+        calls["n"] += 1
+        calls["ok"] += int(res)
+        return res
+
+    pallas_fused.fits_vmem = counting
+    try:
+        cfg = Stage2Config(
+            num_epoch=3, hidden=32, use_scheduler=False,
+            to_undirected=False, matmul_precision="default",
+            adjacency_method="blocked", log_every=10,
+        )
+        res = train_ktgnn(data, cfg)
+        assert np.isfinite(res["history"][-1]["loss"])
+    finally:
+        pallas_fused.fits_vmem = orig
+    assert calls["n"] > 0 and calls["ok"] > 0, calls
