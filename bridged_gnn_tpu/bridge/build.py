@@ -25,6 +25,7 @@ correctly aligned.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -85,10 +86,10 @@ def _embed_cosine_side(variables, z):
     h = z * s0 + t0
     h = h @ np.asarray(p["lin_self_1"]["kernel"])
     s2, t2 = _bn_affine(p["lin_self_2"], st["lin_self_2"])
-    h = np.tanh(h * s2 + t2)
+    h = jnp.tanh(h * s2 + t2)
     zz = h @ np.asarray(p["lin_self_4"]["kernel"])
-    ba = np.tanh(zz @ np.asarray(p["biasatt_0"]["kernel"])
-                 + np.asarray(p["biasatt_0"]["bias"]))
+    ba = jnp.tanh(zz @ np.asarray(p["biasatt_0"]["kernel"])
+                  + np.asarray(p["biasatt_0"]["bias"]))
     ba = ba @ np.asarray(p["biasatt_2"]["kernel"]) + np.asarray(
         p["biasatt_2"]["bias"]
     )
@@ -109,13 +110,18 @@ def _topk_grid(
     column indices [R,k])."""
     n_rows, n_cols = z_rows.shape[0], z_cols.shape[0]
     rows_padded = ((n_rows + row_block - 1) // row_block) * row_block
+    # all pre-math stays on device: embeddings arrive as device arrays
+    # from the jitted encoders, and host round-trips cost seconds over
+    # the tunneled chip (DESIGN.md §8)
+    z_rows, z_cols = jnp.asarray(z_rows), jnp.asarray(z_cols)
 
     if sim_mode == "mlp":
         d = decompose_pair_mlp_head(variables)
-        a_rows = z_rows @ d["w_tar"]
-        b_cols = z_cols @ d["w_src"]
-        a_pad = np.zeros((rows_padded, a_rows.shape[1]), dtype=np.float32)
-        a_pad[:n_rows] = a_rows
+        a_rows = z_rows @ jnp.asarray(d["w_tar"])
+        b_cols = z_cols @ jnp.asarray(d["w_src"])
+        a_pad = jnp.zeros(
+            (rows_padded, a_rows.shape[1]), jnp.float32
+        ).at[:n_rows].set(a_rows)
         if mesh is not None:
             from bridged_gnn_tpu.parallel import sharded_pair_topk
 
@@ -138,10 +144,11 @@ def _topk_grid(
                 approx_recall=approx_recall,
             )
     elif sim_mode == "cosine":
-        a_rows = _embed_cosine_side(variables, z_rows).astype(np.float32)
-        b_cols = _embed_cosine_side(variables, z_cols).astype(np.float32)
-        a_pad = np.zeros((rows_padded, a_rows.shape[1]), dtype=np.float32)
-        a_pad[:n_rows] = a_rows
+        a_rows = _embed_cosine_side(variables, z_rows).astype(jnp.float32)
+        b_cols = _embed_cosine_side(variables, z_cols).astype(jnp.float32)
+        a_pad = jnp.zeros(
+            (rows_padded, a_rows.shape[1]), jnp.float32
+        ).at[:n_rows].set(a_rows)
         if mesh is not None:
             from bridged_gnn_tpu.parallel import sharded_pair_topk
 
@@ -161,25 +168,64 @@ def _topk_grid(
     return np.asarray(vals)[:n_rows], np.asarray(idxs)[:n_rows]
 
 
+# Jitted inference wrappers, cached per model config (flax modules are
+# frozen dataclasses — hashable). Eager model.apply against the tunneled
+# TPU dispatches hundreds of ops with a round trip each (~5 s per encode
+# at 35k nodes, profiled); one jitted dispatch is milliseconds.
+@functools.lru_cache(maxsize=None)
+def _jit_encode_domains(model):
+    def fn(variables, x_src, adj_src, x_tar, adj_tar, m_src, m_tar):
+        return model.apply(
+            variables, x_src, adj_src, x_tar, adj_tar,
+            mask_src=m_src, mask_tar=m_tar, train=False,
+            method=AdversarialLearnerV2.encode_domains,
+        )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_classify(model):
+    def fn(variables, z):
+        return jnp.exp(
+            model.apply(
+                variables, z,
+                method=lambda m, z: m.source_learner.sim_net.classify(
+                    z, train=False
+                ),
+            )
+        )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_encode_within(model, domain: str):
+    def fn(variables, x, adj, node_mask):
+        if domain == "source":
+            method = lambda m, x, adj, mask, train: (  # noqa: E731
+                m.source_learner.encode(x, adj, mask, train)
+            )
+        else:
+            method = lambda m, x, adj, mask, train: (  # noqa: E731
+                m.target_learner.encode(x, adj, mask, train)[0]
+            )
+        return model.apply(variables, x, adj, node_mask, False,
+                           method=method)
+    return jax.jit(fn)
+
+
 def _encode(model, variables, g_src, adj_src, g_tar, adj_tar):
-    z_src, z_tar = model.apply(
+    z_src, z_tar = _jit_encode_domains(model)(
         variables, g_src.x, adj_src, g_tar.x, adj_tar,
-        mask_src=g_src.node_mask, mask_tar=g_tar.node_mask, train=False,
-        method=AdversarialLearnerV2.encode_domains,
+        g_src.node_mask, g_tar.node_mask,
     )
     return (
-        np.asarray(z_src)[: g_src.num_nodes].astype(np.float32),
-        np.asarray(z_tar)[: g_tar.num_nodes].astype(np.float32),
+        z_src[: g_src.num_nodes].astype(jnp.float32),
+        z_tar[: g_tar.num_nodes].astype(jnp.float32),
     )
 
 
 def _classify(model, variables, z):
-    sim_classify = lambda m, z: jnp.exp(  # noqa: E731
-        m.source_learner.sim_net.classify(z, train=False)
-    )
-    return np.asarray(
-        model.apply(variables, jnp.asarray(z), method=sim_classify)
-    )
+    return np.asarray(_jit_classify(model)(variables, jnp.asarray(z)))
 
 
 def labeled_homophily(y_from, y_to, edge_index) -> float:
@@ -230,18 +276,8 @@ def propose_within_edges(
     """Top-k within-domain neighbors for every node (self-pairs retained,
     like the reference — main_bridged_graph.py:97). Returns flat sim-aligned
     edges + the sim grid."""
-    if domain == "source":
-        method = lambda m, x, adj, mask, train: (  # noqa: E731
-            m.source_learner.encode(x, adj, mask, train)
-        )
-    else:
-        method = lambda m, x, adj, mask, train: (  # noqa: E731
-            m.target_learner.encode(x, adj, mask, train)[0]
-        )
-    z = model.apply(
-        variables, g.x, adj, g.node_mask, False, method=method
-    )
-    z = np.asarray(z)[: g.num_nodes].astype(np.float32)
+    z = _jit_encode_within(model, domain)(variables, g.x, adj, g.node_mask)
+    z = z[: g.num_nodes].astype(jnp.float32)
     vals, idxs = _topk_grid(variables, z, z, k, sim_mode, row_block, mesh,
                             approx_recall=approx_recall)
     n = g.num_nodes
@@ -267,8 +303,15 @@ def check_cross_validity(
 ) -> np.ndarray:
     """The four sequential cross-domain filters, in reference order
     (main_bridged_graph.py:225-264), applied to sim-aligned flat edges."""
-    pred_src = probs_clf_src.argmax(1)
-    pred_tar = probs_clf_tar.argmax(1)
+    # Coerce to host numpy ONCE: callers hand device arrays (graph
+    # fields / classifier probs live on the TPU), and running the filter
+    # chain op-by-op against the tunneled chip costs ~20 s in round
+    # trips at 300k proposals vs ~0.1 s in host numpy (profiled).
+    y_src, y_tar = np.asarray(y_src), np.asarray(y_tar)
+    x_src, x_tar = np.asarray(x_src), np.asarray(x_tar)
+    train_mask_tar = np.asarray(train_mask_tar)
+    pred_src = np.asarray(probs_clf_src).argmax(1)
+    pred_tar = np.asarray(probs_clf_tar).argmax(1)
     e0, e1 = edge_index[0], edge_index[1]
     remove = np.zeros(edge_index.shape[1], dtype=bool)
     e_sim = np.asarray(e_sim).reshape(-1)
@@ -307,7 +350,9 @@ def check_within_validity(
     """Within-domain filters (main_bridged_graph.py:123-161). Reference
     quirk kept: filter 2 gates BOTH endpoint checks on the *destination's*
     train membership (:140-141)."""
-    pred = probs_clf.argmax(1)
+    # host-numpy coercion — see check_cross_validity
+    y, x, train_mask = np.asarray(y), np.asarray(x), np.asarray(train_mask)
+    pred = np.asarray(probs_clf).argmax(1)
     e0, e1 = edge_index[0], edge_index[1]
     remove = np.zeros(edge_index.shape[1], dtype=bool)
     e_sim = np.asarray(e_sim).reshape(-1)
