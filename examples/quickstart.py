@@ -15,6 +15,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bridged_gnn_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()  # JAX_PLATFORMS=cpu works under the axon plugin
+
 from bridged_gnn_tpu.config import BridgeConfig, PipelineConfig
 from bridged_gnn_tpu.pipeline import run_pipeline
 from bridged_gnn_tpu.train.stage1 import Stage1Config
