@@ -172,7 +172,14 @@ def _topk_grid(
 # frozen dataclasses — hashable). Eager model.apply against the tunneled
 # TPU dispatches hundreds of ops with a round trip each (~5 s per encode
 # at 35k nodes, profiled); one jitted dispatch is milliseconds.
-@functools.lru_cache(maxsize=None)
+#
+# Cache-retention note: each distinct Adjacency object adds a trace entry
+# inside the cached jitted function (fast_fn is a static pytree field
+# compared by identity) that retains its layout's device arrays. The lru
+# caches are bounded so stale models evict, and long-lived processes
+# sweeping many graphs should call :func:`clear_inference_caches`
+# between sweeps.
+@functools.lru_cache(maxsize=4)
 def _jit_encode_domains(model):
     def fn(variables, x_src, adj_src, x_tar, adj_tar, m_src, m_tar):
         return model.apply(
@@ -183,7 +190,7 @@ def _jit_encode_domains(model):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=4)
 def _jit_classify(model):
     def fn(variables, z):
         return jnp.exp(
@@ -197,7 +204,7 @@ def _jit_classify(model):
     return jax.jit(fn)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _jit_encode_within(model, domain: str):
     def fn(variables, x, adj, node_mask):
         if domain == "source":
@@ -211,6 +218,14 @@ def _jit_encode_within(model, domain: str):
         return model.apply(variables, x, adj, node_mask, False,
                            method=method)
     return jax.jit(fn)
+
+
+def clear_inference_caches() -> None:
+    """Release the jitted encode/classify wrappers and every per-adjacency
+    trace they retain (device buffers of old graph layouts included)."""
+    _jit_encode_domains.cache_clear()
+    _jit_classify.cache_clear()
+    _jit_encode_within.cache_clear()
 
 
 def _encode(model, variables, g_src, adj_src, g_tar, adj_tar):

@@ -67,7 +67,16 @@ def build_argparser() -> argparse.ArgumentParser:
     # None = exact top-k (reference parity); a float in (0,1] uses the
     # TPU-native approx_max_k selector at that recall target (11x sweep
     # speedup at 0.95 — production knob, tools/probe_topk_cosine.json)
-    ap.add_argument("--topk_recall", type=float, default=None)
+    def _recall(v):
+        f = float(v)
+        if not 0.0 < f <= 1.0:
+            raise argparse.ArgumentTypeError(
+                f"--topk_recall must be in (0, 1], got {v} "
+                "(did you pass a percentage?)"
+            )
+        return f
+
+    ap.add_argument("--topk_recall", type=_recall, default=None)
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--max_class_num", type=int, default=10)
     ap.add_argument("--eval_mode", type=str, default="sampling",

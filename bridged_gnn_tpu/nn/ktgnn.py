@@ -118,12 +118,23 @@ class AdaptedConv(nn.Module):
                 if self.fused_kernel_bwd is None
                 else self.fused_kernel_bwd
             )
-            kernel_ok = False
+            kernel_ok = kernel_bwd_ok = False
             if kernel_fwd:
                 lay = adj.fast_fn.lay_dst
+                isz = 2 if x.dtype == jnp.bfloat16 else 4
                 kernel_ok = pallas_fused.fits_vmem(
                     lay.tile_e, lay.node_block, self.out_channels,
-                    itemsize=2 if x.dtype == jnp.bfloat16 else 4,
+                    itemsize=isz,
+                )
+                # the backward kernel's working set is strictly larger
+                # (dm/dud/dout blocks + doubled dz temps); no measured
+                # failure point exists yet, so gate it conservatively at
+                # 75% of the forward budget (the proven fwd+bwd config
+                # sits at 72%) — near-envelope layouts run the Mosaic
+                # forward with the XLA backward
+                kernel_bwd_ok = kernel_ok and pallas_fused.fits_vmem(
+                    lay.tile_e, lay.node_block, self.out_channels,
+                    itemsize=isz, budget=int(0.75 * pallas_fused._VMEM_BUDGET),
                 )
             if kernel_ok or self.fused_recompute_bwd:
                 # custom-VJP variants. kernel_fwd: the whole attention
@@ -143,7 +154,7 @@ class AdaptedConv(nn.Module):
                     fn = make_adapted_attention(
                         adj.fast_fn, self.negative_slope,
                         kernel_fwd=True,
-                        kernel_bwd=kernel_bwd,
+                        kernel_bwd=kernel_bwd and kernel_bwd_ok,
                         interpret=pallas_fused.default_interpret(),
                     )
                 else:

@@ -52,19 +52,22 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def fits_vmem(
-    tile_e: int, node_block: int, dch: int, itemsize: int = 4
+    tile_e: int, node_block: int, dch: int, itemsize: int = 4,
+    budget: int = _VMEM_BUDGET,
 ) -> bool:
     """Working-set estimate for one grid step, fit to the measured
     envelope above: the [nb, Et] one-hot scratch is read by dot_generals
     in both contraction orientations (~3.5 copies live), the msg block is
     double-buffered, and z/h temps are [Et, 2D] f32.  ``itemsize`` is the
-    msg dtype's (2 for bf16, 4 for f32 — f32 halves the admissible Et)."""
+    msg dtype's (2 for bf16, 4 for f32 — f32 halves the admissible Et).
+    Pass a smaller ``budget`` to gate the backward kernel (larger live
+    set, no measured failure point yet)."""
     est = (
         3.5 * node_block * tile_e * itemsize
         + 4 * tile_e * dch * itemsize
         + 16 * tile_e * dch
     )
-    return est <= _VMEM_BUDGET
+    return est <= budget
 
 
 def default_interpret() -> bool:

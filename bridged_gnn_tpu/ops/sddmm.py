@@ -59,6 +59,11 @@ def blockwise_pair_scores_topk(
       (values [num_rows_padded, k], indices [num_rows_padded, k]) with rows
       beyond num_rows containing garbage (callers slice by num_rows).
     """
+    if approx_recall is not None and not 0.0 < float(approx_recall) <= 1.0:
+        raise ValueError(
+            f"approx_recall must be in (0, 1], got {approx_recall} "
+            "(did you pass a percentage?)"
+        )
     rows_padded = ((num_rows + row_block - 1) // row_block) * row_block
     n_blocks = rows_padded // row_block
     row_ids = jnp.arange(rows_padded, dtype=jnp.int32).reshape(

@@ -146,12 +146,19 @@ def prepare_stage2_graph(
     if cfg.model_name in SELF_LOOP_MODELS or cfg.model_name == "KTGNN_noDTC":
         g = with_self_loops(g)
     # When the Mosaic kernel auto-policy is active (TPU backend outside
-    # fp32-parity precision), build the nb=128 slot layout — the kernel's
+    # fp32-parity precision) AND the model is KTGNN-family (the only
+    # kernel consumer), build the nb=128 slot layout — the kernel's
     # VMEM envelope rejects the default nb=256 layout for f32 message
-    # blocks at production hidden sizes (ops/pallas_fused.fits_vmem)
+    # blocks at production hidden sizes (ops/pallas_fused.fits_vmem).
+    # Zoo backbones keep the nb=256 layout tuned for the XLA reduce.
     from bridged_gnn_tpu.ops import pallas_fused
 
-    node_block = 128 if pallas_fused.auto_kernel() else 256
+    kernel_capable = cfg.model_name in ("KTGNN", "KTGNN_noDTC") or (
+        cfg.no_dtc and cfg.model_name == "KTGNN"
+    )
+    node_block = (
+        128 if (kernel_capable and pallas_fused.auto_kernel()) else 256
+    )
     adj = adjacency_from_graph(
         g, method=cfg.adjacency_method, node_block=node_block
     )

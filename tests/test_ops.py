@@ -194,3 +194,13 @@ def test_blockwise_topk_approx_recall_plumbing(rng):
     np.testing.assert_allclose(np.asarray(ve)[:nt], np.asarray(va)[:nt],
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(ie)[:nt], np.asarray(ia)[:nt])
+
+
+def test_blockwise_topk_approx_recall_validation():
+    import pytest as _pytest
+
+    from bridged_gnn_tpu.ops.sddmm import blockwise_pair_scores_topk
+
+    with _pytest.raises(ValueError, match="percentage"):
+        blockwise_pair_scores_topk(lambda i: None, 8, 8, 2,
+                                   approx_recall=95.0)

@@ -246,9 +246,9 @@ def test_auto_kernel_engages_on_chip(rng):
         calls = {"n": 0}
         orig = pallas_fused.fits_vmem
 
-        def counting(te, nb, d, itemsize=4):
+        def counting(te, nb, d, itemsize=4, **kw):
             calls["n"] += 1
-            return orig(te, nb, d, itemsize)
+            return orig(te, nb, d, itemsize, **kw)
 
         pallas_fused.fits_vmem = counting
         try:
@@ -308,8 +308,8 @@ def test_train_ktgnn_production_mode_uses_kernel(rng):
     calls = {"n": 0, "ok": 0}
     orig = pallas_fused.fits_vmem
 
-    def counting(te, nb, d, itemsize=4):
-        res = orig(te, nb, d, itemsize)
+    def counting(te, nb, d, itemsize=4, **kw):
+        res = orig(te, nb, d, itemsize, **kw)
         calls["n"] += 1
         calls["ok"] += int(res)
         return res
