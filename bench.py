@@ -123,8 +123,38 @@ def bench_torch_cpu():
     return E / dt, dt
 
 
+def tunnel_alive(timeout_s: int = 180) -> bool:
+    """Cheap aliveness probe in a child process: one tiny matmul. The
+    tunnel wedges for ~1-1.5 h after any client is killed mid-flight;
+    probing first avoids burning the full device timeout on a dead link."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print('ALIVE', float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        return "ALIVE" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
-    res = bench_device("default")  # TPU when the tunnel is alive
+    # Retry through transient tunnel wedges (up to ~25 min) before
+    # conceding to the CPU fallback: one wedge window costs less than a
+    # round's headline metric silently becoming a CPU number.
+    attempts = int(os.environ.get("BENCH_TUNNEL_RETRIES", "10"))
+    res = None
+    for i in range(attempts):
+        if tunnel_alive():
+            res = bench_device("default")  # TPU when the tunnel is alive
+            if res is not None:
+                break
+        print(f"# tunnel probe {i + 1}/{attempts} failed; retrying",
+              file=sys.stderr)
+        time.sleep(90)
     metric = "spmm_edges_per_sec_chip"
     if res is None:
         res = bench_device("cpu")
