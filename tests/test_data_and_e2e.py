@@ -120,3 +120,34 @@ def test_stage2_forward_deterministic():
         lambda v: model.apply(v, g, adj)[:3]  # drop loss_dist (None)
     )
     check_determinism(fwd, variables)
+
+
+def test_stage2_kernel_layout_gating(monkeypatch):
+    """nb=128 slot layout only when the Mosaic auto-policy is active AND
+    the model is KTGNN-family; zoo backbones keep the nb=256 layout."""
+    import numpy as np
+
+    from bridged_gnn_tpu.data.synthetic import make_sync_dataset
+    from bridged_gnn_tpu.ops import pallas_fused
+    from bridged_gnn_tpu.train.stage2 import Stage2Config, prepare_stage2_graph
+
+    d = make_sync_dataset("relational-intra", n_src=120, n_tar=80, dim=8,
+                          num_classes=3, seed=0)
+    n = d["x"].shape[0]
+    r = np.random.default_rng(0).random(n)
+    d["train_mask"] = r < 0.6
+    d["val_mask"] = (r >= 0.6) & (r < 0.8)
+    d["test_mask"] = r >= 0.8
+
+    def prep(model, auto):
+        monkeypatch.setattr(pallas_fused, "auto_kernel", lambda: auto)
+        cfg = Stage2Config(model_name=model, adjacency_method="blocked")
+        _, adj = prepare_stage2_graph(dict(d), cfg)
+        # the kernel consumes the fast_fn slot layout (lay_dst), not the
+        # lax.map block meta
+        return adj.fast_fn.lay_dst.node_block
+
+    assert prep("KTGNN", True) == 128
+    assert prep("KTGNN", False) == 256
+    assert prep("GraphSAGE", True) == 256   # zoo model: tuned XLA layout
+    assert prep("KTGNN_noDTC", True) == 128
