@@ -594,6 +594,7 @@ def train_adversarial(
                     nxt = max(nxt, cfg.start_eval_epoch - 1)
                     seg_end = min(seg_end, max(nxt, epoch))
                 k = seg_end - epoch + 1
+                seg_t0 = time.time()
                 samples = [sample_epoch() for _ in range(k)]
                 stacked_idxs = {
                     key_: jnp.asarray(np.stack([s[0][key_] for s in samples]))
@@ -610,6 +611,9 @@ def train_adversarial(
                 )
                 losses, d_losses, ae_losses, p_s, p_t, p_c = ys
                 losses = np.asarray(losses)
+                # per-epoch wall time (sampling + dispatch amortized over
+                # the segment) so scan-mode runs report throughput too
+                step_timer.times.extend([(time.time() - seg_t0) / k] * k)
                 preds_last = dict(
                     src=np.asarray(p_s[-1]), tar=np.asarray(p_t[-1]),
                     cross=np.asarray(p_c[-1]),

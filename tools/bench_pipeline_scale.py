@@ -54,9 +54,13 @@ cfg1 = Stage1Config(
     hidden_dim=128, num_epoch=EPOCHS1,
     start_eval_epoch=max(EPOCHS1 - 20, 2), eval_per_epoch=10,
     sample_size=40000, sim_mode="mlp", backbone="mlp", max_class_num=8,
+    scan_epochs=10,               # round-2 TPU-native loop: one dispatch
+                                  # per 10-epoch segment instead of one
+                                  # host round trip per epoch
 )
 res1 = train_adversarial(src_d, tar_d, cfg1)
 res["stage1_s"] = time.time() - t0
+res["stage1_throughput"] = res1.get("throughput")
 res["stage1_cross_f1"] = float(res1["best"]["val"][2])
 
 t0 = time.time()
@@ -93,6 +97,9 @@ cfg2 = Stage2Config(
     num_epoch=EPOCHS2, hidden=64, to_undirected=True,
     matmul_precision="default",   # auto-engages the Mosaic kernels on TPU
     adjacency_method="blocked", log_every=50,
+    scan_epochs=25,               # lax.scan epochs: per-epoch eval preds
+                                  # stream out as stacked arrays, one D2H
+                                  # per chunk instead of per epoch
 )
 res2 = train_ktgnn(merged, cfg2)
 res["stage2_s"] = time.time() - t0
