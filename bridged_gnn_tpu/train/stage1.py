@@ -252,9 +252,17 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
                     stacked_y_pairs):
         k = next(iter(stacked_idxs.values())).shape[0]
         if k not in _scan_cache:
-            _scan_cache[k] = jax.jit(
-                lambda c, xs: jax.lax.scan(_epoch, c, xs)
-            )
+
+            def run(c, xs):
+                c, ys = jax.lax.scan(_epoch, c, xs)
+                losses, d_losses, ae_losses, p_s, p_t, p_c = ys
+                # only the segment's final-epoch pair predictions are
+                # consumed host-side (train-F1 logging) — slice on device
+                # so D2H stays O(pairs), not O(k·pairs)
+                return c, (losses, d_losses, ae_losses,
+                           p_s[-1], p_t[-1], p_c[-1])
+
+            _scan_cache[k] = jax.jit(run)
         return _scan_cache[k](
             (params, bs, opt_st, opt_d, rng),
             (stacked_idxs, stacked_y_pairs),
@@ -614,9 +622,11 @@ def train_adversarial(
                 # per-epoch wall time (sampling + dispatch amortized over
                 # the segment) so scan-mode runs report throughput too
                 step_timer.times.extend([(time.time() - seg_t0) / k] * k)
+                # scan_epochs already slices the final epoch's predictions
+                # on device (D2H is O(pairs), not O(k·pairs))
                 preds_last = dict(
-                    src=np.asarray(p_s[-1]), tar=np.asarray(p_t[-1]),
-                    cross=np.asarray(p_c[-1]),
+                    src=np.asarray(p_s), tar=np.asarray(p_t),
+                    cross=np.asarray(p_c),
                 )
                 train_scores = train_f1s(
                     {k2: stacked_y[k2][-1] for k2 in stacked_y}, preds_last

@@ -31,7 +31,7 @@ import optax
 from bridged_gnn_tpu.graph import Graph, graph_from_dict, with_self_loops
 from bridged_gnn_tpu.nn.ktgnn import KTGNN, KTGNNNoDTC
 from bridged_gnn_tpu.ops.spmm import Adjacency, adjacency_from_graph
-from bridged_gnn_tpu.train.metrics import eval_metric
+from bridged_gnn_tpu.train.metrics import eval_metric, score_from_counts
 from bridged_gnn_tpu.train.optim import step_lr, torch_adam
 from bridged_gnn_tpu.utils.profiling import StepTimer
 
@@ -316,6 +316,21 @@ def _train_ktgnn_impl(data, cfg):
             lp_s, lp_t, lp_that,
         )
 
+    def _confusion_counts(pred, mask):
+        """[3, C+1] tp/pred/true counts over masked rows. Bin C holds
+        y == -1 rows (never predicted) so host-side macro-F1 reproduces
+        sklearn's label set exactly (metrics.score_from_counts)."""
+        y_bin = jnp.where(g.y < 0, num_classes, g.y)
+        m = mask.astype(jnp.float32)[:, None]
+        oh_true = jax.nn.one_hot(y_bin, num_classes + 1,
+                                 dtype=jnp.float32) * m
+        oh_pred = jax.nn.one_hot(pred, num_classes + 1,
+                                 dtype=jnp.float32) * m
+        tp = jnp.sum(oh_true * oh_pred, axis=0)
+        return jnp.stack(
+            [tp, jnp.sum(oh_pred, axis=0), jnp.sum(oh_true, axis=0)]
+        )
+
     def _epoch_body(carry, _):
         params, bs, opt_state, rng = carry
         rng, drop = jax.random.split(rng)
@@ -331,12 +346,22 @@ def _train_ktgnn_impl(data, cfg):
             lp_s = lp_t = lp_that = (
                 outs[0] if isinstance(outs, tuple) else outs
             )
-        ys = (
-            loss, aux["loss_t2"],
-            jnp.argmax(lp_s, axis=1).astype(jnp.int32),
-            jnp.argmax(lp_t, axis=1).astype(jnp.int32),
-            jnp.argmax(lp_that, axis=1).astype(jnp.int32),
-        )
+        p_s = jnp.argmax(lp_s, axis=1)
+        p_t = jnp.argmax(lp_t, axis=1)
+        p_that = jnp.argmax(lp_that, axis=1)
+        # Per-epoch eval streams O(C) confusion counts, not O(N)
+        # prediction stacks: the splits score the reference's head
+        # assignment (train <- source head, val/test <- distilled
+        # target-hat head) plus the per-head test rows used when a new
+        # best epoch is recorded.
+        counts = jnp.stack([
+            _confusion_counts(p_s, g.train_mask),
+            _confusion_counts(p_that, g.val_mask),
+            _confusion_counts(p_that, g.test_mask),
+            _confusion_counts(p_s, g.test_mask),
+            _confusion_counts(p_t, g.test_mask),
+        ])
+        ys = (loss, aux["loss_t2"], counts)
         return (params, new_bs, opt_state, rng), ys
 
     _scan_cache = {}
@@ -438,32 +463,30 @@ def _train_ktgnn_impl(data, cfg):
             (params, batch_stats, opt_state, rng), ys = scan_chunk(
                 params, batch_stats, opt_state, rng, k
             )
-            losses, losses_t2, ps, pt, pth = (np.asarray(a) for a in ys)
+            losses, losses_t2, counts = (np.asarray(a) for a in ys)
             chunk_dt = time.time() - t0
             epoch_times.extend([chunk_dt / k] * k)
             for j in range(k):
                 e = epoch + j
-                scores = {}
-                for split, mask in masks_np.items():
-                    pred = ps[j] if split == "train" else pth[j]
-                    scores[split] = eval_metric(
-                        y_np[mask], pred[mask], cfg.metric, cfg.f1_average
+
+                def _score(row):
+                    return score_from_counts(
+                        *counts[j, row], metric=cfg.metric,
+                        f1_average=cfg.f1_average,
                     )
+
+                scores = {
+                    "train": _score(0), "val": _score(1), "test": _score(2)
+                }
                 history.append(dict(
                     epoch=e, loss=float(losses[j]),
                     loss_t2=float(losses_t2[j]), **scores,
                 ))
                 if losses_t2[j] < best["loss"]:
-                    tmask = masks_np["test"]
                     per_head = {
-                        name: eval_metric(
-                            y_np[tmask], pred[j][tmask], cfg.metric,
-                            cfg.f1_average,
-                        )
-                        for name, pred in (
-                            ("source", ps), ("target", pt),
-                            ("target_hat", pth),
-                        )
+                        "source": _score(3),
+                        "target": _score(4),
+                        "target_hat": scores["test"],
                     }
                     best.update(
                         train=scores["train"], val=scores["val"],
