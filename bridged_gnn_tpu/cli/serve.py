@@ -41,12 +41,14 @@ class ServingApp:
     """Holds the loaded artifact(s) and answers API calls."""
 
     def __init__(self, scorer=None, predictor=None,
-                 meta: Optional[Dict[str, Any]] = None):
+                 meta: Optional[Dict[str, Any]] = None,
+                 verbose: bool = False):
         if scorer is None and predictor is None:
             raise ValueError("need at least one of scorer/predictor")
         self.scorer = scorer
         self.predictor = predictor
         self.meta = dict(meta or {})
+        self.verbose = verbose  # request logging in the HTTP handler
         # serialize device work: one request computes at a time
         self._lock = threading.Lock()
         self._predictions = None
@@ -65,6 +67,10 @@ class ServingApp:
         x = np.asarray(body.get("x"), dtype=np.float32)
         if x.ndim != 2:
             raise _ApiError(400, "'x' must be a 2-D array of query rows")
+        want_dim = getattr(self.scorer.model, "dim_in_tar", None)
+        if want_dim is not None and x.shape[1] != want_dim:
+            raise _ApiError(
+                400, f"'x' rows must have dim {want_dim}, got {x.shape[1]}")
         k = int(body.get("k", 5))
         if not 1 <= k <= self.scorer.num_src:
             raise _ApiError(400, f"'k' must be in [1, {self.scorer.num_src}]")
@@ -158,6 +164,10 @@ def _load_graph(path: str) -> Dict[str, np.ndarray]:
 
 
 def _load_predictor(args):
+    import contextlib
+
+    import jax
+
     from bridged_gnn_tpu.serve import KTGNNPredictor
     from bridged_gnn_tpu.train.stage2 import Stage2Config, build_model
 
@@ -177,15 +187,27 @@ def _load_predictor(args):
     )
     num_classes = int(np.asarray(data["y"]).max()) + 1
     model = build_model(cfg, num_classes)
-    predictor = KTGNNPredictor(
-        model, variables, data, to_undirected=cfg.to_undirected
+    # Match the training precision mode: the predictor jits (and the
+    # Mosaic auto-kernel policy reads the precision config) at
+    # construction, so trace inside the same context train_ktgnn uses.
+    prec_ctx = (
+        jax.default_matmul_precision(cfg.matmul_precision)
+        if cfg.matmul_precision is not None
+        else contextlib.nullcontext()
     )
-    meta = dict(
-        mode="predictor", model_name=cfg.model_name,
-        num_nodes=int(data["x"].shape[0]),
-        num_classes=num_classes, heads=["source", "target", "target_hat"],
-    )
-    return ServingApp(predictor=predictor, meta=meta)
+    with prec_ctx:
+        predictor = KTGNNPredictor(
+            model, variables, data, to_undirected=cfg.to_undirected
+        )
+        meta = dict(
+            mode="predictor", model_name=cfg.model_name,
+            num_nodes=int(data["x"].shape[0]),
+            num_classes=num_classes,
+            heads=["source", "target", "target_hat"],
+            matmul_precision=cfg.matmul_precision,
+        )
+        return ServingApp(predictor=predictor, meta=meta,
+                          verbose=args.verbose)
 
 
 def _is_torch_state_dict(obj) -> bool:
@@ -195,9 +217,6 @@ def _is_torch_state_dict(obj) -> bool:
 
 
 def _load_scorer(args):
-    import jax
-    import jax.numpy as jnp
-
     from bridged_gnn_tpu.graph import graph_from_dict
     from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
     from bridged_gnn_tpu.serve import SimilarityScorer
@@ -227,20 +246,11 @@ def _load_scorer(args):
         sim_mode=args.sim_mode, num_layer=args.num_layer,
     )
     if _is_torch_state_dict(sd):
-        # reference AdvLearner .ckpt: init a skeleton, merge torch params
-        from bridged_gnn_tpu.io.ckpt_import import (
-            merge_into_variables,
-            torch_state_dict_to_flax,
-        )
+        # reference AdvLearner .ckpt: init a skeleton (source and target
+        # input dims may differ), merge torch params shape-verified
+        from bridged_gnn_tpu.io.ckpt_import import load_adv_learner_variables
 
-        x = jnp.zeros((8, d_in))
-        idx = jnp.zeros(4, dtype=jnp.int32)
-        variables = model.init(
-            jax.random.PRNGKey(0), x, None, x, None, idx, idx,
-            method=AdversarialLearnerV2.init_all,
-        )
-        params, bs = torch_state_dict_to_flax(sd)
-        variables = merge_into_variables(variables, params, bs)
+        variables = load_adv_learner_variables(model, sd)
     else:
         variables = sd  # framework pickle of {'params', 'batch_stats'}
     scorer = SimilarityScorer(
@@ -249,9 +259,10 @@ def _load_scorer(args):
     )
     meta = dict(
         mode="similarity", num_src=int(scorer.num_src),
-        dim_in=d_in, sim_mode=args.sim_mode, backbone=args.backbone,
+        dim_in=d_in, dim_query=int(model.dim_in_tar),
+        sim_mode=args.sim_mode, backbone=args.backbone,
     )
-    return ServingApp(scorer=scorer, meta=meta)
+    return ServingApp(scorer=scorer, meta=meta, verbose=args.verbose)
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -285,6 +296,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--dim_tar", type=int, default=0,
                     help="target-domain feature dim if != corpus dim")
     ap.add_argument("--row_block", type=int, default=256)
+    ap.add_argument("--verbose", action="store_true", default=False,
+                    help="log each HTTP request")
     return ap
 
 

@@ -83,6 +83,26 @@ def torch_state_dict_to_flax(
     )
 
 
+def load_adv_learner_variables(model, sd: Dict[str, np.ndarray]):
+    """Build flax variables for an ``AdversarialLearnerV2`` from a reference
+    AdvLearner torch ``state_dict``: init a shape skeleton with zeros of the
+    model's declared input dims (source AND target — they may differ), then
+    merge the imported tensors shape-verified."""
+    import jax
+
+    from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
+
+    x_src = jnp.zeros((8, model.dim_in_src))
+    x_tar = jnp.zeros((8, model.dim_in_tar))
+    idx = jnp.zeros(4, dtype=jnp.int32)
+    variables = model.init(
+        jax.random.PRNGKey(0), x_src, None, x_tar, None, idx, idx,
+        method=AdversarialLearnerV2.init_all,
+    )
+    params, bs = torch_state_dict_to_flax(sd)
+    return merge_into_variables(variables, params, bs)
+
+
 def merge_into_variables(variables, params, batch_stats):
     """Overwrite a flax variables template with imported tensors, verifying
     that every imported leaf matches an existing leaf's shape."""

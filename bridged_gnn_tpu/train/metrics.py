@@ -63,5 +63,9 @@ def score_from_counts(
                    where=denom > 0)
     if f1_average == "binary":
         return float(f1[1])
+    if f1_average != "macro":
+        raise ValueError(
+            "counts-based scoring supports f1_average in "
+            f"{{'macro', 'binary'}}, got {f1_average!r}")
     present = (true_cnt > 0) | (pred_cnt > 0)
     return float(f1[present].mean()) if present.any() else 0.0

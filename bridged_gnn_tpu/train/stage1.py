@@ -622,6 +622,13 @@ def train_adversarial(
                 # per-epoch wall time (sampling + dispatch amortized over
                 # the segment) so scan-mode runs report throughput too
                 step_timer.times.extend([(time.time() - seg_t0) / k] * k)
+                if rep == 0 and epoch == start_epoch:
+                    # the first segment's entries all carry a share of
+                    # the jit compile (later repeats reuse the cache) —
+                    # exclude the whole segment from steady-state stats
+                    step_timer.warmup = max(
+                        step_timer.warmup, len(step_timer.times)
+                    )
                 # scan_epochs already slices the final epoch's predictions
                 # on device (D2H is O(pairs), not O(k·pairs))
                 preds_last = dict(

@@ -320,12 +320,14 @@ def _train_ktgnn_impl(data, cfg):
         """[3, C+1] tp/pred/true counts over masked rows. Bin C holds
         y == -1 rows (never predicted) so host-side macro-F1 reproduces
         sklearn's label set exactly (metrics.score_from_counts)."""
+        # int32 accumulation: exact up to 2^31 rows per bin (f32 one-hot
+        # sums silently stop incrementing at 2^24)
         y_bin = jnp.where(g.y < 0, num_classes, g.y)
-        m = mask.astype(jnp.float32)[:, None]
+        m = mask.astype(jnp.int32)[:, None]
         oh_true = jax.nn.one_hot(y_bin, num_classes + 1,
-                                 dtype=jnp.float32) * m
+                                 dtype=jnp.int32) * m
         oh_pred = jax.nn.one_hot(pred, num_classes + 1,
-                                 dtype=jnp.float32) * m
+                                 dtype=jnp.int32) * m
         tp = jnp.sum(oh_true * oh_pred, axis=0)
         return jnp.stack(
             [tp, jnp.sum(oh_pred, axis=0), jnp.sum(oh_true, axis=0)]
@@ -453,6 +455,7 @@ def _train_ktgnn_impl(data, cfg):
     use_scan = (
         cfg.scan_epochs > 0
         and cfg.metric in ("f1", "acc")
+        and cfg.f1_average in ("macro", "binary")
         and cfg.save_best_path is None
     )
     if use_scan:
@@ -466,6 +469,11 @@ def _train_ktgnn_impl(data, cfg):
             losses, losses_t2, counts = (np.asarray(a) for a in ys)
             chunk_dt = time.time() - t0
             epoch_times.extend([chunk_dt / k] * k)
+            if epoch == start_epoch:
+                # every entry of the first chunk carries an equal share
+                # of the jit compile — exclude the whole chunk from
+                # steady-state stats, not just the default 2 entries
+                timer.warmup = max(timer.warmup, len(epoch_times))
             for j in range(k):
                 e = epoch + j
 
@@ -515,9 +523,9 @@ def _train_ktgnn_impl(data, cfg):
             best=best,
             history=history,
             total_time=time.time() - t_start,
-            mean_epoch_time=float(np.mean(epoch_times[2:]))
-            if len(epoch_times) > 2
-            else float(np.mean(epoch_times)),
+            # steady-state mean: timer.warmup excludes the whole
+            # compile-bearing first chunk (set above)
+            mean_epoch_time=float(timer.steady.mean()),
             throughput=timer.summary(),
             params=params,
             batch_stats=batch_stats,

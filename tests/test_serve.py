@@ -63,10 +63,7 @@ def test_predictor_embeddings(trained):
 
 
 def test_similarity_scorer(a2d_ckpt, rng):
-    from bridged_gnn_tpu.io.ckpt_import import (
-        merge_into_variables,
-        torch_state_dict_to_flax,
-    )
+    from bridged_gnn_tpu.io.ckpt_import import load_adv_learner_variables
     from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
 
     model = AdversarialLearnerV2(
@@ -74,14 +71,7 @@ def test_similarity_scorer(a2d_ckpt, rng):
         num_classes_tar=31, dim_hidden=128, source_clf=True,
         use_norm=True, norm_mode="None", backbone="mlp", sim_mode="mlp",
     )
-    x = jnp.zeros((8, 256))
-    idx = jnp.zeros(4, dtype=jnp.int32)
-    variables = model.init(
-        jax.random.PRNGKey(0), x, None, x, None, idx, idx,
-        method=AdversarialLearnerV2.init_all,
-    )
-    params, bs = torch_state_dict_to_flax(a2d_ckpt)
-    variables = merge_into_variables(variables, params, bs)
+    variables = load_adv_learner_variables(model, a2d_ckpt)
 
     g_src = graph_from_dict(dict(
         x=rng.normal(size=(60, 256)).astype(np.float32),

@@ -137,6 +137,9 @@ def test_error_paths(served):
     assert code == 400
     code, body = _call(port, "/v1/topk", {"x": [[0.0] * 12], "k": 10**6})
     assert code == 400
+    # wrong feature width -> clear 400, not an XLA shape error
+    code, body = _call(port, "/v1/topk", {"x": [[0.0] * 5], "k": 2})
+    assert code == 400 and "dim" in body["error"]
     code, body = _call(port, "/nope", {})
     assert code == 404
 
