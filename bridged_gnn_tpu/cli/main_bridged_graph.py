@@ -85,6 +85,9 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt_dir", type=str, default="../ckpt")
     ap.add_argument("--out_dir", type=str, default="../data_bridged_graph")
     ap.add_argument("--verbose", action="store_true", default=True)
+    # >0: run up to this many epochs per device dispatch (lax.scan over
+    # pre-sampled pair-index stacks; segments land on eval boundaries)
+    ap.add_argument("--scan_epochs", type=int, default=0)
     return ap
 
 
@@ -126,6 +129,7 @@ def main(args):
         seed=args.seed,
         repeat=args.repeat,
         verbose=args.verbose,
+        scan_epochs=args.scan_epochs,
     )
     os.makedirs(args.ckpt_dir, exist_ok=True)
     ckpt_path = os.path.join(

@@ -49,6 +49,10 @@ def build_argparser() -> argparse.ArgumentParser:
     # auto-engage (ops/pallas_fused.auto_kernel)
     ap.add_argument("--matmul_precision", type=str, default=None,
                     choices=["highest", "float32", "default", "bfloat16"])
+    # >0: run this many epochs per device dispatch (lax.scan; per-epoch
+    # eval streams O(num_classes) confusion counts instead of O(N)
+    # predictions). Ignored with --save or --eval_metric auc.
+    ap.add_argument("--scan_epochs", type=int, default=0)
     return ap
 
 
@@ -86,6 +90,7 @@ def main(args):
             to_undirected=args.to_undirected, seed=args.seed,
             log_every=args.log_every, save_best_path=save_best_path,
             matmul_precision=args.matmul_precision,
+            scan_epochs=args.scan_epochs,
         )
     else:
         cfg = Stage2Config(
@@ -95,6 +100,7 @@ def main(args):
             seed=args.seed, log_every=args.log_every,
             save_best_path=save_best_path,
             matmul_precision=args.matmul_precision,
+            scan_epochs=args.scan_epochs,
         )
     res = train_ktgnn(data, cfg)
     print("[stage-2 best]", {k: v for k, v in res["best"].items()
