@@ -79,3 +79,43 @@ def run_pipeline(
         bridged_graph=merged,
         diagnostics=diagnostics,
     )
+
+
+def main(argv=None) -> Dict[str, Any]:
+    """``python -m bridged_gnn_tpu.pipeline --recipe <name>`` (or
+    ``--config cfg.json``) — run an end-to-end pipeline from a pinned
+    recipe (config.RECIPES; the programmatic twin of the reference's
+    run.sh entries) or from a PipelineConfig JSON file."""
+    import argparse
+
+    from bridged_gnn_tpu.config import RECIPES
+    from bridged_gnn_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--recipe", choices=sorted(RECIPES))
+    src.add_argument("--config", metavar="JSON",
+                     help="path to a PipelineConfig JSON file")
+    ap.add_argument("--data_root", default=None,
+                    help="override the recipe's dataset root")
+    ap.add_argument("--out_dir", default=None,
+                    help="persist the bridged graph npz here")
+    ap.add_argument("--elastic", action="store_true", default=False)
+    args = ap.parse_args(argv)
+    cfg = (RECIPES[args.recipe] if args.recipe
+           else PipelineConfig.from_file(args.config))
+    if args.data_root:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, data_root=args.data_root)
+    res = run_pipeline(cfg, out_dir=args.out_dir, elastic=args.elastic)
+    print("[stage-1 best]", res["stage1"])
+    print("[stage-2 best]", {k: v for k, v in res["stage2"].items()
+                             if k != "per_head"})
+    print("[diagnostics]", res["diagnostics"])
+    return res
+
+
+if __name__ == "__main__":
+    main()
