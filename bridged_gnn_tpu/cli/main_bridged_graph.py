@@ -88,6 +88,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # >0: run up to this many epochs per device dispatch (lax.scan over
     # pre-sampled pair-index stacks; segments land on eval boundaries)
     ap.add_argument("--scan_epochs", type=int, default=0)
+    # capture an XLA profiler trace of stage-1 training into this
+    # directory (TensorBoard/XProf-viewable; SURVEY §5.1)
+    ap.add_argument("--profile_dir", type=str, default=None)
     return ap
 
 
@@ -135,9 +138,18 @@ def main(args):
     ckpt_path = os.path.join(
         args.ckpt_dir, f"model_AdvLearner_{args.dataset_name}_best.pkl"
     )
-    res = train_adversarial(
-        src_d, tar_d, cfg, ckpt_path=ckpt_path if args.save else None
-    )
+    if args.profile_dir:
+        from bridged_gnn_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            res = train_adversarial(
+                src_d, tar_d, cfg, ckpt_path=ckpt_path if args.save else None
+            )
+        print(f"profiler trace written to {args.profile_dir}")
+    else:
+        res = train_adversarial(
+            src_d, tar_d, cfg, ckpt_path=ckpt_path if args.save else None
+        )
     print("[stage-1 best]", res["best"])
 
     # bridge construction from the best checkpoint

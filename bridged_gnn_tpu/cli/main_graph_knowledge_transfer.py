@@ -53,6 +53,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # eval streams O(num_classes) confusion counts instead of O(N)
     # predictions). Ignored with --save or --eval_metric auc.
     ap.add_argument("--scan_epochs", type=int, default=0)
+    # capture an XLA profiler trace of the whole training run into this
+    # directory (TensorBoard/XProf-viewable; SURVEY §5.1)
+    ap.add_argument("--profile_dir", type=str, default=None)
     return ap
 
 
@@ -102,7 +105,14 @@ def main(args):
             matmul_precision=args.matmul_precision,
             scan_epochs=args.scan_epochs,
         )
-    res = train_ktgnn(data, cfg)
+    if args.profile_dir:
+        from bridged_gnn_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            res = train_ktgnn(data, cfg)
+        print(f"profiler trace written to {args.profile_dir}")
+    else:
+        res = train_ktgnn(data, cfg)
     print("[stage-2 best]", {k: v for k, v in res["best"].items()
                              if k != "per_head"})
     if "per_head" in res["best"]:
