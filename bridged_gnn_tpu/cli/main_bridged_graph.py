@@ -88,6 +88,10 @@ def build_argparser() -> argparse.ArgumentParser:
     # >0: run up to this many epochs per device dispatch (lax.scan over
     # pre-sampled pair-index stacks; segments land on eval boundaries)
     ap.add_argument("--scan_epochs", type=int, default=0)
+    # draw training pairs on device (jax.random) inside the scanned epoch
+    # body: zero H2D per segment. Distribution-equivalent to the host
+    # sampler, different stream (production knob; requires --scan_epochs)
+    ap.add_argument("--device_sampling", action="store_true")
     # capture an XLA profiler trace of stage-1 training into this
     # directory (TensorBoard/XProf-viewable; SURVEY §5.1)
     ap.add_argument("--profile_dir", type=str, default=None)
@@ -133,6 +137,7 @@ def main(args):
         repeat=args.repeat,
         verbose=args.verbose,
         scan_epochs=args.scan_epochs,
+        device_sampling=args.device_sampling,
     )
     os.makedirs(args.ckpt_dir, exist_ok=True)
     ckpt_path = os.path.join(

@@ -67,13 +67,15 @@ class PipelineConfig:
 RECIPES: Dict[str, PipelineConfig] = {
     # the a2d reference recipe with every production-TPU knob engaged:
     # scan-mode loops (one dispatch per epoch segment, device-side eval
-    # counts), Mosaic attention kernels via non-parity precision, and
-    # the approx_max_k bridge selector (recall 0.95, 9x sweep speedup)
+    # counts), device-resident pair sampling (zero H2D per segment),
+    # Mosaic attention kernels via non-parity precision, and the
+    # approx_max_k bridge selector (recall 0.95, 9x sweep speedup)
     "office_amazon2dslr_tpu": PipelineConfig(
         dataset_name="office_amazon2dslr",
         stage1=Stage1Config(hidden_dim=128, num_epoch=400,
                             start_eval_epoch=300, sim_mode="mlp",
-                            backbone="mlp", seed=0, scan_epochs=25),
+                            backbone="mlp", seed=0, scan_epochs=25,
+                            device_sampling=True),
         bridge=BridgeConfig(k_within=3, k_cross=20, check_within=True,
                             check_cross=True, approx_recall=0.95),
         stage2=Stage2Config(num_layer=2, hidden=64, to_undirected=True,

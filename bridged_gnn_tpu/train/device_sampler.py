@@ -1,0 +1,208 @@
+"""Device-resident class-balanced pair sampling for stage-1 training.
+
+TPU-native redesign of the reference pair enumerators
+(models/models.py:265-512, mirrored host-side in train/samplers.py):
+instead of sampling pair indices with host numpy and shipping
+``O(sample_size)`` index stacks to the device every epoch, the class
+buckets are uploaded once as a padded ``[num_classes, max_bucket]``
+matrix and each epoch's pairs are drawn *inside* the jitted train step
+from a ``jax.random`` key.  In scan mode this makes the whole training
+segment device-resident: zero host→device traffic per epoch and no
+host-RNG synchronization point.
+
+Semantics mirror ``PairEnumerator.sampling`` (reference
+models.py:484-512): pick ``min(#nonempty, max_class_num)`` classes
+(uniform subset without replacement when over the cap), draw
+``int(sqrt(sample_size) / max_class_num)`` node ids per class per side
+uniformly *with replacement*, and emit the full cartesian product in
+``pair_enumeration`` order (tile × repeat, models.py:265-282).  The
+random stream is jax.random rather than numpy — pair *distributions*
+match, streams do not (documented production knob, not a parity mode).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bridged_gnn_tpu.train.samplers import _class_buckets, _split_mask
+
+
+def _bucket_matrix(buckets: Dict[int, np.ndarray], keep: np.ndarray):
+    """Pad per-class index lists to a [len(keep), max_bucket] int32 matrix."""
+    max_bucket = max(int(len(buckets[c])) for c in keep)
+    ids = np.zeros((len(keep), max_bucket), dtype=np.int32)
+    sizes = np.zeros(len(keep), dtype=np.int32)
+    for row, c in enumerate(keep):
+        b = buckets[c]
+        ids[row, : len(b)] = b
+        sizes[row] = len(b)
+    return jnp.asarray(ids), jnp.asarray(sizes)
+
+
+def _draw(key: jax.Array, ids: jax.Array, sizes: jax.Array,
+          rows: jax.Array, per_class: int) -> jax.Array:
+    """Uniform-with-replacement draw of ``per_class`` ids from each of the
+    selected bucket rows; returns the concatenation, shape
+    [len(rows) * per_class]."""
+    sel_ids = ids[rows]                       # [m, max_bucket]
+    sel_sizes = sizes[rows].astype(jnp.float32)  # [m]
+    u = jax.random.uniform(key, (rows.shape[0], per_class))
+    r = jnp.minimum(
+        (u * sel_sizes[:, None]).astype(jnp.int32),
+        sizes[rows][:, None] - 1,
+    )
+    return jnp.take_along_axis(sel_ids, r, axis=1).reshape(-1)
+
+
+def _cartesian(idx1: jax.Array, idx2: jax.Array):
+    """pair_enumeration order (models.py:265-282): idx1 tiled, idx2 repeated."""
+    n = idx1.shape[0]
+    return jnp.tile(idx1, n), jnp.repeat(idx2, n)
+
+
+class DevicePairSampler:
+    """Within-domain device sampler over one split of one graph dict.
+
+    ``sample(key)`` returns ``(pair1, pair2)`` int32 arrays of static
+    length ``(per_class * m)**2`` where
+    ``per_class = int(sqrt(sample_size) / max_class_num)`` and
+    ``m = min(#nonempty classes, max_class_num)`` — identical shapes to
+    the host ``PairEnumerator.sampling`` output for the same config.
+    """
+
+    def __init__(self, data: Dict[str, np.ndarray],
+                 max_class_num: int, sample_size: int,
+                 mode: str = "train",
+                 nonempty_override: Optional[np.ndarray] = None):
+        y = np.asarray(data["y"])
+        num_classes = int(y.max()) + 1
+        buckets = _class_buckets(y, _split_mask(data, mode), num_classes)
+        nonempty = (
+            nonempty_override
+            if nonempty_override is not None
+            else np.array([c for c in range(num_classes) if len(buckets[c])])
+        )
+        if len(nonempty) == 0:
+            raise ValueError("no class has samples in this split")
+        self.num_nonempty = len(nonempty)
+        self.m = min(self.num_nonempty, max_class_num)
+        self.per_class = int(np.sqrt(sample_size) / max_class_num)
+        if self.per_class < 1:
+            raise ValueError(
+                f"sample_size {sample_size} too small for "
+                f"max_class_num {max_class_num}"
+            )
+        self.ids, self.sizes = _bucket_matrix(buckets, nonempty)
+
+    @property
+    def num_pairs(self) -> int:
+        return (self.per_class * self.m) ** 2
+
+    def _rows(self, key: jax.Array) -> jax.Array:
+        if self.num_nonempty <= self.m:
+            return jnp.arange(self.m, dtype=jnp.int32)
+        # uniform subset without replacement (reference rng.choice(...,
+        # replace=False), models.py:489): permute and take the first m
+        return jax.random.permutation(key, self.num_nonempty)[: self.m]
+
+    def sample(self, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        k_cls, k1, k2 = jax.random.split(key, 3)
+        rows = self._rows(k_cls)
+        idx1 = _draw(k1, self.ids, self.sizes, rows, self.per_class)
+        idx2 = _draw(k2, self.ids, self.sizes, rows, self.per_class)
+        return _cartesian(idx1, idx2)
+
+
+class DevicePairSamplerCross:
+    """Cross-domain device sampler: side 1 from source buckets, side 2 from
+    target buckets; classes restricted to those nonempty in *both* domains
+    (reference models.py:284-375)."""
+
+    def __init__(self, data_src: Dict[str, np.ndarray],
+                 data_tar: Dict[str, np.ndarray],
+                 max_class_num: int, sample_size: int,
+                 mode: str = "train"):
+        y_src = np.asarray(data_src["y"])
+        num_classes = int(y_src.max()) + 1
+        b_src = _class_buckets(
+            y_src, _split_mask(data_src, mode), num_classes
+        )
+        y_tar = np.asarray(data_tar["y"])
+        b_tar = _class_buckets(
+            y_tar, _split_mask(data_tar, mode), num_classes
+        )
+        nonempty = np.array([
+            c for c in range(num_classes)
+            if len(b_src[c]) and len(b_tar[c])
+        ])
+        if len(nonempty) == 0:
+            raise ValueError("no class has samples in both domains")
+        self.num_nonempty = len(nonempty)
+        self.m = min(self.num_nonempty, max_class_num)
+        self.per_class = int(np.sqrt(sample_size) / max_class_num)
+        if self.per_class < 1:
+            raise ValueError(
+                f"sample_size {sample_size} too small for "
+                f"max_class_num {max_class_num}"
+            )
+        self.ids_src, self.sizes_src = _bucket_matrix(b_src, nonempty)
+        self.ids_tar, self.sizes_tar = _bucket_matrix(b_tar, nonempty)
+
+    @property
+    def num_pairs(self) -> int:
+        return (self.per_class * self.m) ** 2
+
+    def _rows(self, key: jax.Array) -> jax.Array:
+        if self.num_nonempty <= self.m:
+            return jnp.arange(self.m, dtype=jnp.int32)
+        return jax.random.permutation(key, self.num_nonempty)[: self.m]
+
+    def sample(self, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        k_cls, k1, k2 = jax.random.split(key, 3)
+        rows = self._rows(k_cls)
+        idx1 = _draw(k1, self.ids_src, self.sizes_src, rows, self.per_class)
+        idx2 = _draw(k2, self.ids_tar, self.sizes_tar, rows, self.per_class)
+        return _cartesian(idx1, idx2)
+
+
+def build_device_samplers(src_d: Dict[str, np.ndarray],
+                          tar_d: Dict[str, np.ndarray],
+                          max_class_num: int, sample_size: int):
+    """The three train-split samplers used by the stage-1 step, plus the
+    device-resident label arrays needed to compute pair targets on device."""
+    samplers = dict(
+        src=DevicePairSampler(src_d, max_class_num, sample_size),
+        tar=DevicePairSampler(tar_d, max_class_num, sample_size),
+        cross=DevicePairSamplerCross(
+            src_d, tar_d, max_class_num, sample_size
+        ),
+    )
+    labels = dict(
+        src=jnp.asarray(np.asarray(src_d["y"]), dtype=jnp.int32),
+        tar=jnp.asarray(np.asarray(tar_d["y"]), dtype=jnp.int32),
+    )
+    return samplers, labels
+
+
+def sample_epoch_on_device(samplers: Dict, labels: Dict, key: jax.Array):
+    """One epoch's pair indices + binary targets, entirely on device.
+
+    Returns ``(idxs, y_pairs)`` with the same dict layout the host
+    ``sample_epoch`` produces (train/stage1.py), so the jitted step
+    functions are shared between the host- and device-sampling paths.
+    """
+    k_s, k_t, k_c = jax.random.split(key, 3)
+    s1, s2 = samplers["src"].sample(k_s)
+    t1, t2 = samplers["tar"].sample(k_t)
+    c1, c2 = samplers["cross"].sample(k_c)
+    idxs = dict(src1=s1, src2=s2, tar1=t1, tar2=t2, cross1=c1, cross2=c2)
+    y = dict(
+        src=(labels["src"][s1] == labels["src"][s2]).astype(jnp.float32),
+        tar=(labels["tar"][t1] == labels["tar"][t2]).astype(jnp.float32),
+        cross=(labels["src"][c1] == labels["tar"][c2]).astype(jnp.float32),
+    )
+    return idxs, y

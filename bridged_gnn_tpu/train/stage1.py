@@ -70,6 +70,11 @@ class Stage1Config:
     # >0: run up to this many epochs per device dispatch (lax.scan over
     # pre-sampled pair-index stacks); segments land on eval boundaries
     scan_epochs: int = 0
+    # Draw training pairs on device (jax.random) instead of host numpy —
+    # zero H2D per scan segment and no host-RNG sync point. Pair
+    # *distributions* match the host sampler; streams do not (production
+    # knob, not a parity mode). Requires scan_epochs > 0.
+    device_sampling: bool = False
     # quantile filter restricting pair eval to high-confidence predictions
     # (reference conf_lower_bound, scripts.py:350-358); None = all pairs
     conf_lower_bound: Optional[float] = None
@@ -134,7 +139,10 @@ def _group_optimizers():
 
 
 def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
-                     use_clf: bool):
+                     use_clf: bool, device_ctx=None):
+    """``device_ctx``: optional ``(samplers, labels)`` from
+    ``device_sampler.build_device_samplers`` — enables the device-sampling
+    scan variant exposed as ``scan_epochs.device_scan``."""
     tx_st, tx_d = _group_optimizers()
 
     def sim_loss(params, batch_stats, dropout_rng, idxs, y_pairs):
@@ -267,6 +275,46 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
             (params, bs, opt_st, opt_d, rng),
             (stacked_idxs, stacked_y_pairs),
         )
+
+    # --- device-sampling scan: pairs drawn inside the scan body, zero
+    # H2D per segment (train/device_sampler.py) ---
+    scan_epochs.device_scan = None
+    if device_ctx is not None:
+        from bridged_gnn_tpu.train.device_sampler import (
+            sample_epoch_on_device,
+        )
+
+        samplers, labels = device_ctx
+
+        def _epoch_dev(carry, _):
+            params, bs, opt_st, opt_d, rng = carry
+            rng, samp_key = jax.random.split(rng)
+            idxs, y_pairs = sample_epoch_on_device(samplers, labels,
+                                                   samp_key)
+            carry, ys = _epoch((params, bs, opt_st, opt_d, rng),
+                               (idxs, y_pairs))
+            return carry, ys + (
+                y_pairs["src"], y_pairs["tar"], y_pairs["cross"],
+            )
+
+        _dev_cache = {}
+
+        def scan_epochs_device(params, bs, opt_st, opt_d, rng, k):
+            if k not in _dev_cache:
+
+                def run(c):
+                    c, ys = jax.lax.scan(_epoch_dev, c, None, length=k)
+                    (losses, d_losses, ae_losses,
+                     p_s, p_t, p_c, y_s, y_t, y_c) = ys
+                    # final-epoch preds + targets only (host train-F1 log)
+                    return c, (losses, d_losses, ae_losses,
+                               p_s[-1], p_t[-1], p_c[-1],
+                               y_s[-1], y_t[-1], y_c[-1])
+
+                _dev_cache[k] = jax.jit(run)
+            return _dev_cache[k]((params, bs, opt_st, opt_d, rng))
+
+        scan_epochs.device_scan = scan_epochs_device
 
     return sim_step, d_step, tx_st, tx_d, scan_epochs
 
@@ -469,6 +517,11 @@ def train_adversarial(
     """Full stage-1 run (reference main_adv_v2, scripts.py:430-555).
     Returns best scores + the best variables for bridge construction."""
     cfg = cfg or Stage1Config()
+    if cfg.device_sampling and cfg.scan_epochs <= 0:
+        raise ValueError(
+            "device_sampling requires scan_epochs > 0 (the device sampler "
+            "lives inside the scanned epoch body)"
+        )
     g_src = graph_from_dict(src_d)
     g_tar = graph_from_dict(tar_d)
     adj_src = (
@@ -497,8 +550,18 @@ def train_adversarial(
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
 
+        device_ctx = None
+        if cfg.device_sampling and cfg.scan_epochs > 0:
+            from bridged_gnn_tpu.train.device_sampler import (
+                build_device_samplers,
+            )
+
+            device_ctx = build_device_samplers(
+                src_d, tar_d, cfg.max_class_num, cfg.sample_size
+            )
         sim_step, d_step, tx_st, tx_d, scan_fn = make_train_steps(
-            model, g_src, adj_src, g_tar, adj_tar, cfg.use_clf
+            model, g_src, adj_src, g_tar, adj_tar, cfg.use_clf,
+            device_ctx=device_ctx,
         )
         opt_st = tx_st.init(params)
         opt_d = tx_d.init(params)
@@ -603,21 +666,39 @@ def train_adversarial(
                     seg_end = min(seg_end, max(nxt, epoch))
                 k = seg_end - epoch + 1
                 seg_t0 = time.time()
-                samples = [sample_epoch() for _ in range(k)]
-                stacked_idxs = {
-                    key_: jnp.asarray(np.stack([s[0][key_] for s in samples]))
-                    for key_ in samples[0][0]
-                }
-                stacked_y = {
-                    key_: jnp.asarray(np.stack([s[1][key_] for s in samples]))
-                    for key_ in samples[0][1]
-                }
                 key, seg_key = jax.random.split(key)
-                (params, batch_stats, opt_st, opt_d, _), ys = scan_fn(
-                    params, batch_stats, opt_st, opt_d, seg_key,
-                    stacked_idxs, stacked_y,
-                )
-                losses, d_losses, ae_losses, p_s, p_t, p_c = ys
+                if device_ctx is not None:
+                    (params, batch_stats, opt_st, opt_d, _), ys = (
+                        scan_fn.device_scan(
+                            params, batch_stats, opt_st, opt_d, seg_key, k
+                        )
+                    )
+                    (losses, d_losses, ae_losses,
+                     p_s, p_t, p_c, y_s, y_t, y_c) = ys
+                    last_y = dict(src=np.asarray(y_s), tar=np.asarray(y_t),
+                                  cross=np.asarray(y_c))
+                else:
+                    samples = [sample_epoch() for _ in range(k)]
+                    stacked_idxs = {
+                        key_: jnp.asarray(
+                            np.stack([s[0][key_] for s in samples])
+                        )
+                        for key_ in samples[0][0]
+                    }
+                    stacked_y = {
+                        key_: jnp.asarray(
+                            np.stack([s[1][key_] for s in samples])
+                        )
+                        for key_ in samples[0][1]
+                    }
+                    (params, batch_stats, opt_st, opt_d, _), ys = scan_fn(
+                        params, batch_stats, opt_st, opt_d, seg_key,
+                        stacked_idxs, stacked_y,
+                    )
+                    losses, d_losses, ae_losses, p_s, p_t, p_c = ys
+                    last_y = {
+                        k2: np.asarray(stacked_y[k2][-1]) for k2 in stacked_y
+                    }
                 losses = np.asarray(losses)
                 # per-epoch wall time (sampling + dispatch amortized over
                 # the segment) so scan-mode runs report throughput too
@@ -635,9 +716,7 @@ def train_adversarial(
                     src=np.asarray(p_s), tar=np.asarray(p_t),
                     cross=np.asarray(p_c),
                 )
-                train_scores = train_f1s(
-                    {k2: stacked_y[k2][-1] for k2 in stacked_y}, preds_last
-                )
+                train_scores = train_f1s(last_y, preds_last)
                 if cfg.verbose:
                     print(
                         f"[rep {rep}] epochs {epoch}-{seg_end} "

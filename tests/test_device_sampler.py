@@ -1,0 +1,157 @@
+"""Device-resident pair sampler: shape parity with the host enumerators,
+class/split correctness of the drawn indices, determinism, and a
+device-sampling stage-1 scan run end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bridged_gnn_tpu.data import dataset_conversion
+from bridged_gnn_tpu.data.synthetic import make_sync_dataset
+from bridged_gnn_tpu.train.device_sampler import (
+    DevicePairSampler,
+    DevicePairSamplerCross,
+    build_device_samplers,
+    sample_epoch_on_device,
+)
+from bridged_gnn_tpu.train.samplers import (
+    PairEnumerator,
+    PairEnumeratorCross,
+)
+from bridged_gnn_tpu.train.stage1 import Stage1Config, train_adversarial
+
+
+@pytest.fixture(scope="module")
+def domains():
+    data = make_sync_dataset(
+        "relational-intra", n_src=300, n_tar=200, dim=16,
+        num_classes=4, avg_degree=4, seed=0,
+    )
+    src_d, tar_d, _, _ = dataset_conversion(dict(data), seed=0)
+    return src_d, tar_d
+
+
+MAX_CLS, SIZE = 4, 1600
+
+
+def test_within_shapes_match_host(domains):
+    src_d, _ = domains
+    host = PairEnumerator(src_d, "train", np.random.default_rng(0))
+    h1, h2 = host.sampling(MAX_CLS, SIZE)
+    dev = DevicePairSampler(src_d, MAX_CLS, SIZE)
+    d1, d2 = dev.sample(jax.random.PRNGKey(0))
+    assert d1.shape == h1.shape and d2.shape == h2.shape
+    assert dev.num_pairs == len(h1)
+    assert d1.dtype == jnp.int32
+
+
+def test_within_indices_are_valid_train_rows(domains):
+    src_d, _ = domains
+    dev = DevicePairSampler(src_d, MAX_CLS, SIZE)
+    d1, d2 = dev.sample(jax.random.PRNGKey(1))
+    train = np.asarray(src_d["train_mask"])
+    for d in (np.asarray(d1), np.asarray(d2)):
+        assert train[d].all(), "sampled a non-train row"
+
+
+def test_within_pairs_are_class_balanced_cartesian(domains):
+    """Each side must draw per_class ids from each selected class; the
+    cartesian pair layout implies side-1 class pattern tiles and side-2
+    repeats (pair_enumeration order)."""
+    src_d, _ = domains
+    y = np.asarray(src_d["y"])
+    dev = DevicePairSampler(src_d, MAX_CLS, SIZE)
+    d1, d2 = (np.asarray(a) for a in dev.sample(jax.random.PRNGKey(2)))
+    n = int(np.sqrt(len(d1)))
+    # side 1 tiles: first n entries repeat across the whole array
+    assert (d1.reshape(n, n) == d1[:n]).all()
+    # side 2 repeats: each of the n blocks is constant
+    assert (d2.reshape(n, n) == d2.reshape(n, n)[:, :1]).all()
+    # per-class draw counts are equal on each side
+    per_class = dev.per_class
+    counts1 = np.bincount(y[d1[:n]], minlength=y.max() + 1)
+    assert sorted(counts1[counts1 > 0].tolist()) == [per_class] * dev.m
+
+
+def test_cross_sides_come_from_their_domains(domains):
+    src_d, tar_d = domains
+    dev = DevicePairSamplerCross(src_d, tar_d, MAX_CLS, SIZE)
+    c1, c2 = (np.asarray(a) for a in dev.sample(jax.random.PRNGKey(3)))
+    assert (c1 < src_d["x"].shape[0]).all()
+    assert (c2 < tar_d["x"].shape[0]).all()
+    assert np.asarray(src_d["train_mask"])[c1].all()
+    assert np.asarray(tar_d["train_mask"])[c2].all()
+    host = PairEnumeratorCross(src_d, tar_d, "train",
+                               np.random.default_rng(0))
+    h1, _ = host.sampling(MAX_CLS, SIZE)
+    assert c1.shape == h1.shape
+
+
+def test_sampling_is_deterministic_in_key(domains):
+    src_d, _ = domains
+    dev = DevicePairSampler(src_d, MAX_CLS, SIZE)
+    a1, a2 = dev.sample(jax.random.PRNGKey(7))
+    b1, b2 = dev.sample(jax.random.PRNGKey(7))
+    c1, _ = dev.sample(jax.random.PRNGKey(8))
+    assert (np.asarray(a1) == np.asarray(b1)).all()
+    assert (np.asarray(a2) == np.asarray(b2)).all()
+    assert (np.asarray(a1) != np.asarray(c1)).any()
+
+
+def test_epoch_targets_match_labels(domains):
+    src_d, tar_d = domains
+    samplers, labels = build_device_samplers(src_d, tar_d, MAX_CLS, SIZE)
+    idxs, y_pairs = sample_epoch_on_device(
+        samplers, labels, jax.random.PRNGKey(0)
+    )
+    y_src = np.asarray(src_d["y"])
+    y_tar = np.asarray(tar_d["y"])
+    np.testing.assert_array_equal(
+        np.asarray(y_pairs["src"]),
+        (y_src[np.asarray(idxs["src1"])]
+         == y_src[np.asarray(idxs["src2"])]).astype(np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(y_pairs["cross"]),
+        (y_src[np.asarray(idxs["cross1"])]
+         == y_tar[np.asarray(idxs["cross2"])]).astype(np.float32),
+    )
+
+
+def test_class_subset_rotates_when_over_cap(domains):
+    """With more nonempty classes than max_class_num, different keys must
+    select different class subsets (reference picks a random subset per
+    sampling call)."""
+    src_d, _ = domains
+    y = np.asarray(src_d["y"])
+    dev = DevicePairSampler(src_d, 2, SIZE)
+    assert dev.m == 2 < dev.num_nonempty
+    seen = set()
+    for s in range(8):
+        d1, _ = dev.sample(jax.random.PRNGKey(s))
+        n = dev.per_class * dev.m
+        seen.add(tuple(sorted(set(y[np.asarray(d1)[:n]].tolist()))))
+    assert len(seen) > 1
+
+
+def test_stage1_device_sampling_end_to_end(domains):
+    src_d, tar_d = domains
+    cfg = Stage1Config(
+        hidden_dim=16, num_epoch=8, start_eval_epoch=4, eval_per_epoch=4,
+        sample_size=400, max_class_num=4, sim_mode="mlp", backbone="mlp",
+        eval_sample_size=400, scan_epochs=4, device_sampling=True,
+        repeat=1, seed=0,
+    )
+    res = train_adversarial(src_d, tar_d, cfg)
+    assert res["best"]["epoch"] > 0
+    # pair scores are probabilities → f1 tuple entries in [0, 1]
+    for v in res["best"]["val"]:
+        assert 0.0 <= v <= 1.0
+
+
+def test_device_sampling_requires_scan_mode(domains):
+    src_d, tar_d = domains
+    cfg = Stage1Config(num_epoch=2, device_sampling=True, scan_epochs=0)
+    with pytest.raises(ValueError, match="scan_epochs"):
+        train_adversarial(src_d, tar_d, cfg)
