@@ -169,6 +169,96 @@ class DevicePairSamplerCross:
         return _cartesian(idx1, idx2)
 
 
+class DeviceBalancedSampler:
+    """Device mirror of ``PairEnumerator.balanced_sampling`` (reference
+    models.py:448-483): for every ordered pair of selected classes
+    ``(c1, c2)`` draw ``same`` pairs when ``c1 == c2`` else ``diff``
+    pairs, with ``same = int(0.5·sample_size / max_class_num)`` and
+    ``diff = int(0.5·sample_size / (max_class_num·(max_class_num−1)))``
+    — both computed from the *argument* ``max_class_num``, as the host
+    sampler does, so empty classes shrink the total pair count
+    identically. Used by the device-resident stage-1 evaluator.
+
+    ``buckets2``: optional second bucket set for the cross-domain
+    variant (side 1 drawn from the first, side 2 from the second;
+    classes restricted to those nonempty in both)."""
+
+    def __init__(self, data: Dict[str, np.ndarray],
+                 max_class_num: int, sample_size: int,
+                 mode: str = "train",
+                 data2: Optional[Dict[str, np.ndarray]] = None):
+        y = np.asarray(data["y"])
+        num_classes = int(y.max()) + 1
+        b1 = _class_buckets(y, _split_mask(data, mode), num_classes)
+        if data2 is not None:
+            y2 = np.asarray(data2["y"])
+            b2 = _class_buckets(y2, _split_mask(data2, mode), num_classes)
+            nonempty = np.array([
+                c for c in range(num_classes) if len(b1[c]) and len(b2[c])
+            ])
+        else:
+            b2 = b1
+            nonempty = np.array(
+                [c for c in range(num_classes) if len(b1[c])]
+            )
+        if len(nonempty) == 0:
+            raise ValueError("no class has samples in this split")
+        self.num_nonempty = len(nonempty)
+        self.m = min(self.num_nonempty, max_class_num)
+        same = int(0.5 * sample_size / max_class_num)
+        diff = (
+            int(0.5 * sample_size / (max_class_num * (max_class_num - 1)))
+            if max_class_num > 1 else 0
+        )
+        self.ids1, self.sizes1 = _bucket_matrix(b1, nonempty)
+        self.ids2, self.sizes2 = _bucket_matrix(b2, nonempty)
+        # static slot-row pattern of the (c1, c2) blocks: slot indices in
+        # 0..m-1, mapped through the (possibly random) class-row selection
+        # at sample time
+        r1, r2 = [], []
+        for i in range(self.m):
+            for j in range(self.m):
+                n = same if i == j else diff
+                if n == 0:
+                    continue
+                r1.append(np.full(n, i, dtype=np.int32))
+                r2.append(np.full(n, j, dtype=np.int32))
+        if not r1:
+            raise ValueError(
+                f"sample_size {sample_size} too small for "
+                f"max_class_num {max_class_num}"
+            )
+        self._slots1 = jnp.asarray(np.concatenate(r1))
+        self._slots2 = jnp.asarray(np.concatenate(r2))
+
+    @property
+    def num_pairs(self) -> int:
+        return int(self._slots1.shape[0])
+
+    def _rows(self, key: jax.Array) -> jax.Array:
+        if self.num_nonempty <= self.m:
+            return jnp.arange(self.m, dtype=jnp.int32)
+        return jax.random.permutation(key, self.num_nonempty)[: self.m]
+
+    def sample(self, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        k_cls, k1, k2 = jax.random.split(key, 3)
+        rows = self._rows(k_cls)
+
+        def draw(k, ids, sizes, slot_rows):
+            r = rows[slot_rows]                       # [P] bucket rows
+            u = jax.random.uniform(k, slot_rows.shape)
+            col = jnp.minimum(
+                (u * sizes[r].astype(jnp.float32)).astype(jnp.int32),
+                sizes[r] - 1,
+            )
+            return ids[r, col]
+
+        return (
+            draw(k1, self.ids1, self.sizes1, self._slots1),
+            draw(k2, self.ids2, self.sizes2, self._slots2),
+        )
+
+
 def build_device_samplers(src_d: Dict[str, np.ndarray],
                           tar_d: Dict[str, np.ndarray],
                           max_class_num: int, sample_size: int):

@@ -483,7 +483,10 @@ class Stage1Evaluator:
             cfg.metric, "binary", probs[mask_conf],
         )
 
-    def __call__(self, variables, split: str):
+    def __call__(self, variables, split: str, epoch: int = 0):
+        # ``epoch`` keeps the signature aligned with the device evaluator
+        # (which derives its sampling key from it); the host sampler
+        # advances its own checkpointed numpy stream instead
         enu_src, enu_tar, _ = self.enus[split]
         pair_src = self._within(
             variables, self.src_d, self.score_src, enu_src, split
@@ -506,6 +509,162 @@ class Stage1Evaluator:
                 np.asarray(data["y"])[mask], pred, self.cfg.metric, "macro"
             )
         return pair_src, clf["src"], pair_tar, clf["tar"], pair_cross
+
+
+class DeviceStage1Evaluator:
+    """Device-resident counterpart of :class:`Stage1Evaluator` for
+    ``eval_mode='sampling'`` and counts-expressible metrics (f1/acc,
+    no ``conf_lower_bound``): balanced pair sampling, pair scoring over
+    all three relations, and confusion counting run as ONE jitted
+    program per split — only O(num_classes) int32 count tensors cross
+    to host, instead of host-enumerated 100k-pair index stacks per
+    relation per eval epoch. The pair stream is jax.random:
+    distribution-equivalent to the host evaluator's numpy stream, not
+    stream-equal (engaged only under ``Stage1Config.device_sampling``,
+    the production knob).
+
+    Returns the same 5-tuple as the host evaluator; binary pair F1 and
+    macro clf F1 are reproduced exactly from counts
+    (metrics.score_from_counts)."""
+
+    def __init__(self, model, g_src: Graph, adj_src, g_tar: Graph,
+                 adj_tar, src_d, tar_d, cfg: Stage1Config):
+        from bridged_gnn_tpu.train.device_sampler import (
+            DeviceBalancedSampler,
+        )
+        from bridged_gnn_tpu.train.metrics import score_from_counts
+
+        self.cfg = cfg
+        self._score_from_counts = score_from_counts
+        self._base_key = jax.random.PRNGKey(
+            (cfg.seed if cfg.seed is not None else 0) + 0x5EED
+        )
+        y_src = jnp.asarray(np.asarray(src_d["y"]), jnp.int32)
+        y_tar = jnp.asarray(np.asarray(tar_d["y"]), jnp.int32)
+        self.num_classes_src = int(np.asarray(src_d["y"]).max()) + 1
+        self.num_classes_tar = int(np.asarray(tar_d["y"]).max()) + 1
+
+        def _pad_mask(data, name, n_pad):
+            m = np.zeros(n_pad, dtype=bool)
+            raw = np.asarray(data[name])
+            m[: len(raw)] = raw
+            return jnp.asarray(m)
+
+        split_masks = {
+            split: (
+                _pad_mask(src_d,
+                          "val_mask" if split == "val" else "test_mask",
+                          g_src.num_nodes_padded),
+                _pad_mask(tar_d,
+                          "val_mask" if split == "val" else "test_mask",
+                          g_tar.num_nodes_padded),
+            )
+            for split in ("val", "test")
+        }
+
+        def pair_counts(probs, y_pair):
+            """[3, 2] binary confusion counts: rows tp/pred/true, bins
+            (negative, positive)."""
+            pred = (probs > 0.5).astype(jnp.int32)
+            yb = y_pair.astype(jnp.int32)
+            oh_p = jax.nn.one_hot(pred, 2, dtype=jnp.int32)
+            oh_t = jax.nn.one_hot(yb, 2, dtype=jnp.int32)
+            return jnp.stack([
+                jnp.sum(oh_p * oh_t, axis=0),
+                jnp.sum(oh_p, axis=0),
+                jnp.sum(oh_t, axis=0),
+            ])
+
+        def clf_counts(log_probs, y, mask, num_classes):
+            """[3, C+1] macro confusion counts; bin C holds y == -1 rows
+            (sklearn's -1 label), mirroring stage-2's device eval."""
+            pred = jnp.argmax(log_probs, axis=1)
+            y_bin = jnp.where(y < 0, num_classes, y)
+            m = mask.astype(jnp.int32)[:, None]
+            oh_t = jax.nn.one_hot(y_bin, num_classes + 1,
+                                  dtype=jnp.int32) * m
+            oh_p = jax.nn.one_hot(pred, num_classes + 1,
+                                  dtype=jnp.int32) * m
+            return jnp.stack([
+                jnp.sum(oh_t * oh_p, axis=0),
+                jnp.sum(oh_p, axis=0),
+                jnp.sum(oh_t, axis=0),
+            ])
+
+        self._fns = {}
+        for split in ("val", "test"):
+            # the host evaluator passes each enumerator its own domain's
+            # class count as max_class_num (stage1.py Stage1Evaluator;
+            # reference scripts.py:335,384)
+            s_src = DeviceBalancedSampler(
+                src_d, self.num_classes_src, cfg.eval_sample_size, split
+            )
+            s_tar = DeviceBalancedSampler(
+                tar_d, self.num_classes_tar, cfg.eval_sample_size, split
+            )
+            s_cross = DeviceBalancedSampler(
+                src_d, self.num_classes_src, cfg.eval_sample_size, split,
+                data2=tar_d,
+            )
+            m_src, m_tar = split_masks[split]
+
+            def _eval(variables, key, s_src=s_src, s_tar=s_tar,
+                      s_cross=s_cross, m_src=m_src, m_tar=m_tar):
+                k1, k2, k3 = jax.random.split(key, 3)
+                i1, i2 = s_src.sample(k1)
+                p_src, _ = model.apply(
+                    variables, g_src.x, adj_src, i1, i2,
+                    method=AdversarialLearnerV2.get_probs_within_domain,
+                    domain="source", mask=g_src.node_mask,
+                )
+                c_pair_src = pair_counts(
+                    p_src[:, 0], y_src[i1] == y_src[i2]
+                )
+                j1, j2 = s_tar.sample(k2)
+                p_tar, _ = model.apply(
+                    variables, g_tar.x, adj_tar, j1, j2,
+                    method=AdversarialLearnerV2.get_probs_within_domain,
+                    domain="target", mask=g_tar.node_mask,
+                )
+                c_pair_tar = pair_counts(
+                    p_tar[:, 0], y_tar[j1] == y_tar[j2]
+                )
+                x1, x2 = s_cross.sample(k3)
+                p_cross, ps, pt, _, _ = model.apply(
+                    variables, g_src.x, adj_src, g_tar.x, adj_tar, x1, x2,
+                    method=AdversarialLearnerV2.get_probs_cross_domain,
+                    mask_src=g_src.node_mask, mask_tar=g_tar.node_mask,
+                )
+                c_pair_cross = pair_counts(
+                    p_cross[:, 0], y_src[x1] == y_tar[x2]
+                )
+                c_clf_src = clf_counts(
+                    ps, g_src.y, m_src, self.num_classes_src
+                )
+                c_clf_tar = clf_counts(
+                    pt, g_tar.y, m_tar, self.num_classes_tar
+                )
+                return (c_pair_src, c_pair_tar, c_pair_cross,
+                        c_clf_src, c_clf_tar)
+
+            self._fns[split] = jax.jit(_eval)
+
+    def __call__(self, variables, split: str, epoch: int = 0):
+        key = jax.random.fold_in(
+            jax.random.fold_in(self._base_key, 0 if split == "val" else 1),
+            epoch,
+        )
+        out = self._fns[split](variables, key)
+        c_ps, c_pt, c_pc, c_cs, c_ct = (np.asarray(a) for a in out)
+        sc = self._score_from_counts
+        metric = self.cfg.metric
+        return (
+            sc(*c_ps, metric=metric, f1_average="binary"),
+            sc(*c_cs, metric=metric, f1_average="macro"),
+            sc(*c_pt, metric=metric, f1_average="binary"),
+            sc(*c_ct, metric=metric, f1_average="macro"),
+            sc(*c_pc, metric=metric, f1_average="binary"),
+        )
 
 
 def train_adversarial(
@@ -569,10 +728,21 @@ def train_adversarial(
         enu_src = PairEnumerator(src_d, "train", host_rng)
         enu_tar = PairEnumerator(tar_d, "train", host_rng)
         enu_cross = PairEnumeratorCross(src_d, tar_d, "train", host_rng)
-        evaluator = Stage1Evaluator(
-            model, None, g_src, adj_src, g_tar, adj_tar, src_d, tar_d,
-            cfg, host_rng,
+        use_device_eval = (
+            cfg.device_sampling
+            and cfg.eval_mode == "sampling"
+            and cfg.metric in ("f1", "acc")
+            and cfg.conf_lower_bound is None
         )
+        if use_device_eval:
+            evaluator = DeviceStage1Evaluator(
+                model, g_src, adj_src, g_tar, adj_tar, src_d, tar_d, cfg
+            )
+        else:
+            evaluator = Stage1Evaluator(
+                model, None, g_src, adj_src, g_tar, adj_tar, src_d, tar_d,
+                cfg, host_rng,
+            )
 
         y_src_np = np.asarray(src_d["y"])
         y_tar_np = np.asarray(tar_d["y"])
@@ -639,8 +809,8 @@ def train_adversarial(
                 and epoch % cfg.eval_per_epoch == 0
             ):
                 cur_vars = {"params": params, "batch_stats": batch_stats}
-                val = evaluator(cur_vars, "val")
-                test = evaluator(cur_vars, "test")
+                val = evaluator(cur_vars, "val", epoch)
+                test = evaluator(cur_vars, "test", epoch)
                 if val[4] > best["val"][2]:
                     best.update(
                         epoch=epoch, train=train_scores,

@@ -150,6 +150,93 @@ def test_stage1_device_sampling_end_to_end(domains):
         assert 0.0 <= v <= 1.0
 
 
+def test_balanced_sampler_matches_host_shapes_and_composition(domains):
+    from bridged_gnn_tpu.train.device_sampler import DeviceBalancedSampler
+
+    src_d, _ = domains
+    y = np.asarray(src_d["y"])
+    nc = int(y.max()) + 1
+    host = PairEnumerator(src_d, "val", np.random.default_rng(0))
+    h1, h2 = host.balanced_sampling(nc, 2000)
+    dev = DeviceBalancedSampler(src_d, nc, 2000, "val")
+    d1, d2 = (np.asarray(a) for a in dev.sample(jax.random.PRNGKey(0)))
+    assert d1.shape == h1.shape and d2.shape == h2.shape
+    # same/diff pair composition is identical to the host sampler's
+    same_host = (y[h1] == y[h2]).sum()
+    same_dev = (y[d1] == y[d2]).sum()
+    assert same_host == same_dev
+    val = np.asarray(src_d["val_mask"])
+    assert val[d1].all() and val[d2].all()
+
+
+def test_balanced_cross_sampler_domains(domains):
+    from bridged_gnn_tpu.train.device_sampler import DeviceBalancedSampler
+
+    src_d, tar_d = domains
+    nc = int(np.asarray(src_d["y"]).max()) + 1
+    dev = DeviceBalancedSampler(src_d, nc, 2000, "test", data2=tar_d)
+    d1, d2 = (np.asarray(a) for a in dev.sample(jax.random.PRNGKey(1)))
+    assert np.asarray(src_d["test_mask"])[d1].all()
+    assert np.asarray(tar_d["test_mask"])[d2].all()
+
+
+def test_device_evaluator_matches_host_evaluator(domains):
+    """Same trained variables, device vs host eval: different pair
+    streams but the same estimand — scores must agree to sampling noise
+    on an easy synthetic problem, and both must be well-formed."""
+    from bridged_gnn_tpu.graph import graph_from_dict
+    from bridged_gnn_tpu.train.stage1 import (
+        DeviceStage1Evaluator,
+        Stage1Evaluator,
+        build_model,
+    )
+
+    src_d, tar_d = domains
+    cfg = Stage1Config(
+        hidden_dim=16, num_epoch=6, start_eval_epoch=3, eval_per_epoch=3,
+        sample_size=400, max_class_num=4, sim_mode="mlp", backbone="mlp",
+        eval_sample_size=2000, scan_epochs=3, device_sampling=True,
+        repeat=1, seed=0,
+    )
+    res = train_adversarial(src_d, tar_d, cfg)
+    variables = res["variables"]
+    model = build_model(cfg, src_d, tar_d)
+    g_src = graph_from_dict(src_d)
+    g_tar = graph_from_dict(tar_d)
+    dev = DeviceStage1Evaluator(
+        model, g_src, None, g_tar, None, src_d, tar_d, cfg
+    )
+    host = Stage1Evaluator(
+        model, None, g_src, None, g_tar, None, src_d, tar_d, cfg,
+        np.random.default_rng(0),
+    )
+    d = dev(variables, "val", epoch=6)
+    h = host(variables, "val", epoch=6)
+    assert len(d) == len(h) == 5
+    for dv, hv in zip(d, h):
+        assert 0.0 <= dv <= 1.0
+        assert abs(dv - hv) < 0.15, (d, h)
+
+
+def test_device_evaluator_counts_reproduce_sklearn_binary_f1():
+    """The count → binary-F1 path must be sklearn-exact for a fixed
+    prediction vector."""
+    from sklearn.metrics import f1_score
+
+    from bridged_gnn_tpu.train.metrics import score_from_counts
+
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 2, 500)
+    pred = rng.integers(0, 2, 500)
+    oh_t = np.eye(2, dtype=np.int64)[y]
+    oh_p = np.eye(2, dtype=np.int64)[pred]
+    got = score_from_counts(
+        (oh_t * oh_p).sum(0), oh_p.sum(0), oh_t.sum(0),
+        metric="f1", f1_average="binary",
+    )
+    assert abs(got - f1_score(y, pred, average="binary")) < 1e-12
+
+
 def test_device_sampling_requires_scan_mode(domains):
     src_d, tar_d = domains
     cfg = Stage1Config(num_epoch=2, device_sampling=True, scan_epochs=0)
