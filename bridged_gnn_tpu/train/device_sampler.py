@@ -64,30 +64,51 @@ def _cartesian(idx1: jax.Array, idx2: jax.Array):
     return jnp.tile(idx1, n), jnp.repeat(idx2, n)
 
 
+def _build_buckets(data, data2, mode: str):
+    """Per-class bucket dicts for one domain — or, with ``data2``, for a
+    cross-domain pair where the usable classes are those nonempty in
+    *both* domains (reference models.py:284-375). Returns
+    ``(buckets1, buckets2, nonempty)`` with ``buckets2 is buckets1`` in
+    the within-domain case."""
+    y = np.asarray(data["y"])
+    num_classes = int(y.max()) + 1
+    b1 = _class_buckets(y, _split_mask(data, mode), num_classes)
+    if data2 is not None:
+        y2 = np.asarray(data2["y"])
+        b2 = _class_buckets(y2, _split_mask(data2, mode), num_classes)
+        nonempty = np.array([
+            c for c in range(num_classes) if len(b1[c]) and len(b2[c])
+        ])
+        if len(nonempty) == 0:
+            raise ValueError("no class has samples in both domains")
+    else:
+        b2 = b1
+        nonempty = np.array(
+            [c for c in range(num_classes) if len(b1[c])]
+        )
+        if len(nonempty) == 0:
+            raise ValueError("no class has samples in this split")
+    return b1, b2, nonempty
+
+
 class DevicePairSampler:
-    """Within-domain device sampler over one split of one graph dict.
+    """Device sampler mirroring ``PairEnumerator.sampling`` (reference
+    models.py:484-512). Side 1 draws from ``data``'s buckets; with
+    ``data2`` given, side 2 draws from ``data2``'s buckets instead (the
+    ``PairEnumeratorCross`` variant, models.py:284-375).
 
     ``sample(key)`` returns ``(pair1, pair2)`` int32 arrays of static
     length ``(per_class * m)**2`` where
     ``per_class = int(sqrt(sample_size) / max_class_num)`` and
     ``m = min(#nonempty classes, max_class_num)`` — identical shapes to
-    the host ``PairEnumerator.sampling`` output for the same config.
+    the host sampler's output for the same config.
     """
 
     def __init__(self, data: Dict[str, np.ndarray],
                  max_class_num: int, sample_size: int,
                  mode: str = "train",
-                 nonempty_override: Optional[np.ndarray] = None):
-        y = np.asarray(data["y"])
-        num_classes = int(y.max()) + 1
-        buckets = _class_buckets(y, _split_mask(data, mode), num_classes)
-        nonempty = (
-            nonempty_override
-            if nonempty_override is not None
-            else np.array([c for c in range(num_classes) if len(buckets[c])])
-        )
-        if len(nonempty) == 0:
-            raise ValueError("no class has samples in this split")
+                 data2: Optional[Dict[str, np.ndarray]] = None):
+        b1, b2, nonempty = _build_buckets(data, data2, mode)
         self.num_nonempty = len(nonempty)
         self.m = min(self.num_nonempty, max_class_num)
         self.per_class = int(np.sqrt(sample_size) / max_class_num)
@@ -96,7 +117,11 @@ class DevicePairSampler:
                 f"sample_size {sample_size} too small for "
                 f"max_class_num {max_class_num}"
             )
-        self.ids, self.sizes = _bucket_matrix(buckets, nonempty)
+        self.ids1, self.sizes1 = _bucket_matrix(b1, nonempty)
+        self.ids2, self.sizes2 = (
+            (self.ids1, self.sizes1) if data2 is None
+            else _bucket_matrix(b2, nonempty)
+        )
 
     @property
     def num_pairs(self) -> int:
@@ -112,61 +137,18 @@ class DevicePairSampler:
     def sample(self, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
         k_cls, k1, k2 = jax.random.split(key, 3)
         rows = self._rows(k_cls)
-        idx1 = _draw(k1, self.ids, self.sizes, rows, self.per_class)
-        idx2 = _draw(k2, self.ids, self.sizes, rows, self.per_class)
+        idx1 = _draw(k1, self.ids1, self.sizes1, rows, self.per_class)
+        idx2 = _draw(k2, self.ids2, self.sizes2, rows, self.per_class)
         return _cartesian(idx1, idx2)
 
 
-class DevicePairSamplerCross:
-    """Cross-domain device sampler: side 1 from source buckets, side 2 from
-    target buckets; classes restricted to those nonempty in *both* domains
-    (reference models.py:284-375)."""
-
-    def __init__(self, data_src: Dict[str, np.ndarray],
-                 data_tar: Dict[str, np.ndarray],
-                 max_class_num: int, sample_size: int,
-                 mode: str = "train"):
-        y_src = np.asarray(data_src["y"])
-        num_classes = int(y_src.max()) + 1
-        b_src = _class_buckets(
-            y_src, _split_mask(data_src, mode), num_classes
-        )
-        y_tar = np.asarray(data_tar["y"])
-        b_tar = _class_buckets(
-            y_tar, _split_mask(data_tar, mode), num_classes
-        )
-        nonempty = np.array([
-            c for c in range(num_classes)
-            if len(b_src[c]) and len(b_tar[c])
-        ])
-        if len(nonempty) == 0:
-            raise ValueError("no class has samples in both domains")
-        self.num_nonempty = len(nonempty)
-        self.m = min(self.num_nonempty, max_class_num)
-        self.per_class = int(np.sqrt(sample_size) / max_class_num)
-        if self.per_class < 1:
-            raise ValueError(
-                f"sample_size {sample_size} too small for "
-                f"max_class_num {max_class_num}"
-            )
-        self.ids_src, self.sizes_src = _bucket_matrix(b_src, nonempty)
-        self.ids_tar, self.sizes_tar = _bucket_matrix(b_tar, nonempty)
-
-    @property
-    def num_pairs(self) -> int:
-        return (self.per_class * self.m) ** 2
-
-    def _rows(self, key: jax.Array) -> jax.Array:
-        if self.num_nonempty <= self.m:
-            return jnp.arange(self.m, dtype=jnp.int32)
-        return jax.random.permutation(key, self.num_nonempty)[: self.m]
-
-    def sample(self, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        k_cls, k1, k2 = jax.random.split(key, 3)
-        rows = self._rows(k_cls)
-        idx1 = _draw(k1, self.ids_src, self.sizes_src, rows, self.per_class)
-        idx2 = _draw(k2, self.ids_tar, self.sizes_tar, rows, self.per_class)
-        return _cartesian(idx1, idx2)
+def DevicePairSamplerCross(data_src, data_tar, max_class_num, sample_size,
+                           mode: str = "train") -> DevicePairSampler:
+    """Cross-domain convenience constructor: side 1 from source buckets,
+    side 2 from target buckets."""
+    return DevicePairSampler(
+        data_src, max_class_num, sample_size, mode, data2=data_tar
+    )
 
 
 class DeviceBalancedSampler:
@@ -179,30 +161,15 @@ class DeviceBalancedSampler:
     sampler does, so empty classes shrink the total pair count
     identically. Used by the device-resident stage-1 evaluator.
 
-    ``buckets2``: optional second bucket set for the cross-domain
-    variant (side 1 drawn from the first, side 2 from the second;
-    classes restricted to those nonempty in both)."""
+    ``data2``: optional second domain for the cross variant (side 1
+    drawn from ``data``'s buckets, side 2 from ``data2``'s; classes
+    restricted to those nonempty in both)."""
 
     def __init__(self, data: Dict[str, np.ndarray],
                  max_class_num: int, sample_size: int,
                  mode: str = "train",
                  data2: Optional[Dict[str, np.ndarray]] = None):
-        y = np.asarray(data["y"])
-        num_classes = int(y.max()) + 1
-        b1 = _class_buckets(y, _split_mask(data, mode), num_classes)
-        if data2 is not None:
-            y2 = np.asarray(data2["y"])
-            b2 = _class_buckets(y2, _split_mask(data2, mode), num_classes)
-            nonempty = np.array([
-                c for c in range(num_classes) if len(b1[c]) and len(b2[c])
-            ])
-        else:
-            b2 = b1
-            nonempty = np.array(
-                [c for c in range(num_classes) if len(b1[c])]
-            )
-        if len(nonempty) == 0:
-            raise ValueError("no class has samples in this split")
+        b1, b2, nonempty = _build_buckets(data, data2, mode)
         self.num_nonempty = len(nonempty)
         self.m = min(self.num_nonempty, max_class_num)
         same = int(0.5 * sample_size / max_class_num)

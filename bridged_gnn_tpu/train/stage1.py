@@ -138,11 +138,25 @@ def _group_optimizers():
     return tx_st, tx_d
 
 
+class _ScanFns:
+    """Scan-mode entry points returned by :func:`make_train_steps`:
+    calling the object runs the host-sampled segment scan;
+    ``device_scan`` (None unless a ``device_ctx`` was supplied) runs the
+    device-sampling variant."""
+
+    def __init__(self, host_scan, device_scan=None):
+        self._host_scan = host_scan
+        self.device_scan = device_scan
+
+    def __call__(self, *args, **kwargs):
+        return self._host_scan(*args, **kwargs)
+
+
 def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
                      use_clf: bool, device_ctx=None):
     """``device_ctx``: optional ``(samplers, labels)`` from
     ``device_sampler.build_device_samplers`` — enables the device-sampling
-    scan variant exposed as ``scan_epochs.device_scan``."""
+    scan variant exposed as the returned scan object's ``device_scan``."""
     tx_st, tx_d = _group_optimizers()
 
     def sim_loss(params, batch_stats, dropout_rng, idxs, y_pairs):
@@ -278,7 +292,7 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
 
     # --- device-sampling scan: pairs drawn inside the scan body, zero
     # H2D per segment (train/device_sampler.py) ---
-    scan_epochs.device_scan = None
+    scan_epochs_device = None
     if device_ctx is not None:
         from bridged_gnn_tpu.train.device_sampler import (
             sample_epoch_on_device,
@@ -314,9 +328,9 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
                 _dev_cache[k] = jax.jit(run)
             return _dev_cache[k]((params, bs, opt_st, opt_d, rng))
 
-        scan_epochs.device_scan = scan_epochs_device
-
-    return sim_step, d_step, tx_st, tx_d, scan_epochs
+    return sim_step, d_step, tx_st, tx_d, _ScanFns(
+        scan_epochs, scan_epochs_device
+    )
 
 
 def _confidence_mask(probs: np.ndarray, conf_lower_bound) -> np.ndarray:
@@ -528,7 +542,8 @@ class DeviceStage1Evaluator:
     (metrics.score_from_counts)."""
 
     def __init__(self, model, g_src: Graph, adj_src, g_tar: Graph,
-                 adj_tar, src_d, tar_d, cfg: Stage1Config):
+                 adj_tar, src_d, tar_d, cfg: Stage1Config,
+                 seed: Optional[int] = None):
         from bridged_gnn_tpu.train.device_sampler import (
             DeviceBalancedSampler,
         )
@@ -536,9 +551,12 @@ class DeviceStage1Evaluator:
 
         self.cfg = cfg
         self._score_from_counts = score_from_counts
-        self._base_key = jax.random.PRNGKey(
-            (cfg.seed if cfg.seed is not None else 0) + 0x5EED
-        )
+        # per-repeat resolved seed (train_adversarial falls back to the
+        # repeat index when cfg.seed is None), so repeats draw distinct
+        # eval pair streams like the host evaluator's per-rep host_rng
+        if seed is None:
+            seed = cfg.seed if cfg.seed is not None else 0
+        self._base_key = jax.random.PRNGKey(seed + 0x5EED)
         y_src = jnp.asarray(np.asarray(src_d["y"]), jnp.int32)
         y_tar = jnp.asarray(np.asarray(tar_d["y"]), jnp.int32)
         self.num_classes_src = int(np.asarray(src_d["y"]).max()) + 1
@@ -725,9 +743,13 @@ def train_adversarial(
         opt_st = tx_st.init(params)
         opt_d = tx_d.init(params)
 
-        enu_src = PairEnumerator(src_d, "train", host_rng)
-        enu_tar = PairEnumerator(tar_d, "train", host_rng)
-        enu_cross = PairEnumeratorCross(src_d, tar_d, "train", host_rng)
+        if device_ctx is None:
+            # host train samplers are only consumed by the host sampling
+            # path; under device sampling the buckets already live on
+            # device inside device_ctx
+            enu_src = PairEnumerator(src_d, "train", host_rng)
+            enu_tar = PairEnumerator(tar_d, "train", host_rng)
+            enu_cross = PairEnumeratorCross(src_d, tar_d, "train", host_rng)
         use_device_eval = (
             cfg.device_sampling
             and cfg.eval_mode == "sampling"
@@ -736,7 +758,8 @@ def train_adversarial(
         )
         if use_device_eval:
             evaluator = DeviceStage1Evaluator(
-                model, g_src, adj_src, g_tar, adj_tar, src_d, tar_d, cfg
+                model, g_src, adj_src, g_tar, adj_tar, src_d, tar_d, cfg,
+                seed=seed,
             )
         else:
             evaluator = Stage1Evaluator(

@@ -100,8 +100,12 @@ res = train_adversarial(src_d, tar_d, cfg)
 out["train_noeval_30ep_s"] = time.time() - t0
 out["throughput"] = res.get("throughput")
 
-# eval cost: one eval pass (val+test) at eval_sample_size=100k
-from bridged_gnn_tpu.train.stage1 import Stage1Evaluator  # noqa: E402
+# same run with device-resident sampling (train/device_sampler.py)
+cfg_dev = Stage1Config(**{**cfg.__dict__, "device_sampling": True})
+t0 = time.time()
+res_dev = train_adversarial(src_d, tar_d, cfg_dev)
+out["train_noeval_30ep_device_sampling_s"] = time.time() - t0
+out["throughput_device_sampling"] = res_dev.get("throughput")
 
 print(json.dumps(out, indent=2))
 with open("tools/probe_stage1_breakdown.json", "w") as f:
