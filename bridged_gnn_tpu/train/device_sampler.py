@@ -245,18 +245,35 @@ def build_device_samplers(src_d: Dict[str, np.ndarray],
     return samplers, labels
 
 
-def sample_epoch_on_device(samplers: Dict, labels: Dict, key: jax.Array):
+def sample_epoch_on_device(samplers: Dict, labels: Dict, key: jax.Array,
+                           pair_sharding=None):
     """One epoch's pair indices + binary targets, entirely on device.
 
     Returns ``(idxs, y_pairs)`` with the same dict layout the host
     ``sample_epoch`` produces (train/stage1.py), so the jitted step
     functions are shared between the host- and device-sampling paths.
+
+    ``pair_sharding``: optional sharding (e.g.
+    ``NamedSharding(mesh, P('pairs'))``) constrained onto every sampled
+    pair array — under a mesh, GSPMD then partitions the downstream
+    pair scoring data-parallel (SURVEY §2c item 2) while the sampling
+    itself stays on device. Pairs are a pure function of ``key``, so the
+    sharded and unsharded programs compute identical batches.
     """
     k_s, k_t, k_c = jax.random.split(key, 3)
     s1, s2 = samplers["src"].sample(k_s)
     t1, t2 = samplers["tar"].sample(k_t)
     c1, c2 = samplers["cross"].sample(k_c)
     idxs = dict(src1=s1, src2=s2, tar1=t1, tar2=t2, cross1=c1, cross2=c2)
+    if pair_sharding is not None:
+        idxs = {
+            k: jax.lax.with_sharding_constraint(v, pair_sharding)
+            for k, v in idxs.items()
+        }
+        s1, s2, t1, t2, c1, c2 = (
+            idxs["src1"], idxs["src2"], idxs["tar1"], idxs["tar2"],
+            idxs["cross1"], idxs["cross2"],
+        )
     y = dict(
         src=(labels["src"][s1] == labels["src"][s2]).astype(jnp.float32),
         tar=(labels["tar"][t1] == labels["tar"][t2]).astype(jnp.float32),

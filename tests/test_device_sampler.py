@@ -237,6 +237,55 @@ def test_device_evaluator_counts_reproduce_sklearn_binary_f1():
     assert abs(got - f1_score(y, pred, average="binary")) < 1e-12
 
 
+def test_dp_device_sampling_matches_unsharded(domains):
+    """Device-sampled DP: with a 'pairs' sharding constraint on the
+    sampled arrays, the jitted sample+step program must compute the
+    same loss as the unsharded program (pairs are a pure function of
+    the key), while GSPMD partitions the pair scoring."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from bridged_gnn_tpu.graph import graph_from_dict
+    from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
+    from bridged_gnn_tpu.parallel import make_mesh
+    from bridged_gnn_tpu.train.stage1 import build_model, make_train_steps
+
+    src_d, tar_d = domains
+    cfg = Stage1Config(hidden_dim=16, max_class_num=4, sample_size=6400,
+                       sim_mode="mlp", backbone="mlp")
+    g_src, g_tar = graph_from_dict(src_d), graph_from_dict(tar_d)
+    model = build_model(cfg, src_d, tar_d)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        g_src.x, None, g_tar.x, None,
+        jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+        mask_src=g_src.node_mask, mask_tar=g_tar.node_mask,
+        method=AdversarialLearnerV2.init_all,
+    )
+    params, bs = variables["params"], variables["batch_stats"]
+    samplers, labels = build_device_samplers(src_d, tar_d, 4, 6400)
+    sim_step, _, tx_st, _, _ = make_train_steps(
+        model, g_src, None, g_tar, None, cfg.use_clf
+    )
+    opt = tx_st.init(params)
+    key = jax.random.PRNGKey(5)
+    drop = jax.random.PRNGKey(3)
+
+    def run(pair_sharding):
+        idxs, y_pairs = sample_epoch_on_device(
+            samplers, labels, key, pair_sharding=pair_sharding
+        )
+        return sim_step(params, bs, opt, drop, idxs, y_pairs)
+
+    _, _, _, loss_ref, _ = jax.jit(lambda: run(None))()
+    mesh = make_mesh(8, ("pairs",))
+    sharding = NamedSharding(mesh, P("pairs"))
+    _, _, _, loss_dp, _ = jax.jit(lambda: run(sharding))()
+    np.testing.assert_allclose(float(loss_ref), float(loss_dp), rtol=1e-5)
+
+
 def test_device_sampling_requires_scan_mode(domains):
     src_d, tar_d = domains
     cfg = Stage1Config(num_epoch=2, device_sampling=True, scan_epochs=0)
