@@ -286,6 +286,31 @@ def test_dp_device_sampling_matches_unsharded(domains):
     np.testing.assert_allclose(float(loss_ref), float(loss_dp), rtol=1e-5)
 
 
+def test_device_and_host_sampling_converge_alike(domains):
+    """Distribution equivalence in effect: the same config trained with
+    host-numpy vs device sampling must reach comparable cross-domain
+    val pair F1 on the easy synthetic problem (streams differ, the
+    estimator does not)."""
+    src_d, tar_d = domains
+    base = dict(
+        hidden_dim=16, num_epoch=30, start_eval_epoch=10, eval_per_epoch=10,
+        sample_size=1600, max_class_num=4, sim_mode="mlp", backbone="mlp",
+        eval_sample_size=2000, scan_epochs=10, repeat=1, seed=0,
+    )
+    res_host = train_adversarial(
+        src_d, tar_d, Stage1Config(**base, device_sampling=False)
+    )
+    res_dev = train_adversarial(
+        src_d, tar_d, Stage1Config(**base, device_sampling=True)
+    )
+    f1_host = res_host["best"]["val"][2]
+    f1_dev = res_dev["best"]["val"][2]
+    # the device stream must train at least as well (generous margin for
+    # stream-level noise at this tiny scale)
+    assert f1_dev > 0.6, (f1_host, f1_dev)
+    assert f1_dev > f1_host - 0.15, (f1_host, f1_dev)
+
+
 def test_device_sampling_requires_scan_mode(domains):
     src_d, tar_d = domains
     cfg = Stage1Config(num_epoch=2, device_sampling=True, scan_epochs=0)

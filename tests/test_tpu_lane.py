@@ -326,3 +326,27 @@ def test_train_ktgnn_production_mode_uses_kernel(rng):
     finally:
         pallas_fused.fits_vmem = orig
     assert calls["n"] > 0 and calls["ok"] > 0, calls
+
+
+def test_stage1_device_sampling_on_chip():
+    """Device-resident sampling + eval compile and train on the real
+    chip: a short scan-mode stage-1 run with device_sampling ends with a
+    finite loss and a populated best dict."""
+    from bridged_gnn_tpu.data import dataset_conversion
+    from bridged_gnn_tpu.data.synthetic import make_sync_dataset
+    from bridged_gnn_tpu.train.stage1 import Stage1Config, train_adversarial
+
+    data = make_sync_dataset(
+        "relational-intra", n_src=2000, n_tar=1500, dim=32,
+        num_classes=4, avg_degree=6, seed=0,
+    )
+    src_d, tar_d, _, _ = dataset_conversion(dict(data), seed=0)
+    cfg = Stage1Config(
+        hidden_dim=32, num_epoch=8, start_eval_epoch=4, eval_per_epoch=4,
+        sample_size=4096, max_class_num=4, sim_mode="mlp", backbone="mlp",
+        eval_sample_size=4096, scan_epochs=4, device_sampling=True,
+        repeat=1, seed=0,
+    )
+    res = train_adversarial(src_d, tar_d, cfg)
+    assert res["best"]["epoch"] > 0
+    assert all(0.0 <= v <= 1.0 for v in res["best"]["val"])
