@@ -49,6 +49,10 @@ def build_argparser() -> argparse.ArgumentParser:
     # auto-engage (ops/pallas_fused.auto_kernel)
     ap.add_argument("--matmul_precision", type=str, default=None,
                     choices=["highest", "float32", "default", "bfloat16"])
+    # bf16 conv messages (KTGNN family): halves the bytes the gather
+    # engine moves per edge slot — the hot-path bound (DESIGN.md §2)
+    ap.add_argument("--message_dtype", type=str, default=None,
+                    choices=["bfloat16"])
     # >0: run this many epochs per device dispatch (lax.scan; per-epoch
     # eval streams O(num_classes) confusion counts instead of O(N)
     # predictions). Ignored with --save or --eval_metric auc.
@@ -93,6 +97,7 @@ def main(args):
             to_undirected=args.to_undirected, seed=args.seed,
             log_every=args.log_every, save_best_path=save_best_path,
             matmul_precision=args.matmul_precision,
+            message_dtype=args.message_dtype,
             scan_epochs=args.scan_epochs,
         )
     else:
@@ -103,6 +108,7 @@ def main(args):
             seed=args.seed, log_every=args.log_every,
             save_best_path=save_best_path,
             matmul_precision=args.matmul_precision,
+            message_dtype=args.message_dtype,
             scan_epochs=args.scan_epochs,
         )
     if args.profile_dir:

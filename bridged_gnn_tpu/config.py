@@ -79,7 +79,8 @@ RECIPES: Dict[str, PipelineConfig] = {
         bridge=BridgeConfig(k_within=3, k_cross=20, check_within=True,
                             check_cross=True, approx_recall=0.95),
         stage2=Stage2Config(num_layer=2, hidden=64, to_undirected=True,
-                            scan_epochs=50, matmul_precision="default"),
+                            scan_epochs=50, matmul_precision="default",
+                            message_dtype="bfloat16"),
     ),
     "office_amazon2dslr": PipelineConfig(
         dataset_name="office_amazon2dslr",

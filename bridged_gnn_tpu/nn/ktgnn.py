@@ -64,6 +64,13 @@ class AdaptedConv(nn.Module):
     # measures 54.0 ms vs 64.7 ms autodiff-XLA (1.20x) at bench scale —
     # the fastest training path. None = same auto policy
     fused_kernel_bwd: Optional[bool] = None
+    # Message dtype for the per-edge attention/aggregation pass
+    # ('bfloat16' production knob): the gather engine is the hot-path
+    # bound (DESIGN.md §2) and moves one message row per edge slot, so
+    # halving the row bytes targets ~2x on the gather-bound portion.
+    # Gated shifts, logits math, softmax statistics, and the output
+    # (cast back to x.dtype before BN) stay f32. None = x.dtype (parity)
+    msg_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -95,6 +102,9 @@ class AdaptedConv(nn.Module):
         # --- f: two linear paths (KTGNN.py:283-284)
         u_s2t = torch_dense(self.out_channels, name="lin_t")(x_s2t)
         u_t2s = torch_dense(self.out_channels, name="lin_s")(x_t2s)
+        if self.msg_dtype is not None:
+            u_s2t = u_s2t.astype(self.msg_dtype)
+            u_t2s = u_t2s.astype(self.msg_dtype)
 
         # --- fused path: attention + softmax + aggregation from two row
         # gathers in the padded slot layout (ops/fused_attention.py)
@@ -121,7 +131,7 @@ class AdaptedConv(nn.Module):
             kernel_ok = kernel_bwd_ok = False
             if kernel_fwd:
                 lay = adj.fast_fn.lay_dst
-                isz = 2 if x.dtype == jnp.bfloat16 else 4
+                isz = 2 if u_s2t.dtype == jnp.bfloat16 else 4
                 kernel_ok = pallas_fused.fits_vmem(
                     lay.tile_e, lay.node_block, self.out_channels,
                     itemsize=isz,
@@ -176,6 +186,7 @@ class AdaptedConv(nn.Module):
                     torch_dense(1, use_bias=False, name="a_f_s2t"),
                     negative_slope=self.negative_slope,
                 )
+            out = out.astype(x.dtype)
             if self.root_weight:
                 out = out + torch_dense(
                     self.out_channels, use_bias=False, name="lin_r"
@@ -253,10 +264,12 @@ class AdaptedConv(nn.Module):
         else:
             msg = jnp.where(dst_central[:, None], u_t2s[s], u_s2t[s])
             out = segment_sum(
-                msg * alpha[:, None], r, adj.num_nodes_padded, mask=em,
+                msg * alpha[:, None].astype(msg.dtype), r,
+                adj.num_nodes_padded, mask=em,
                 indices_are_sorted=True, axis_name=self.axis_name,
             )
 
+        out = out.astype(x.dtype)
         if self.root_weight:
             out = out + torch_dense(
                 self.out_channels, use_bias=False, name="lin_r"
@@ -299,6 +312,9 @@ class AdaptedConv(nn.Module):
         )
         u_s2t = torch_dense(self.out_channels, name="lin_t")(x_s2t)
         u_t2s = torch_dense(self.out_channels, name="lin_s")(x_t2s)
+        if self.msg_dtype is not None:
+            u_s2t = u_s2t.astype(self.msg_dtype)
+            u_t2s = u_t2s.astype(self.msg_dtype)
 
         # destination-keyed ops are LOCAL (this device holds every edge
         # into its rows — no collective) and scatter-free (VERDICT r1
@@ -365,7 +381,10 @@ class AdaptedConv(nn.Module):
             )[:, 0]
             alpha = halo.segment_softmax_local(logits)
             msg = jnp.where(dst_central[:, None], u_t2s[s], u_s2t[s])
-            out = halo.segment_sum_local(msg * alpha[:, None])
+            out = halo.segment_sum_local(
+                msg * alpha[:, None].astype(msg.dtype)
+            )
+        out = out.astype(x.dtype)
         if self.root_weight:
             out = out + torch_dense(
                 self.out_channels, use_bias=False, name="lin_r"
@@ -415,6 +434,8 @@ class KTGNN(nn.Module):
     fused_kernel_fwd: Optional[bool] = None
     # + Mosaic backward kernel (fastest training path); None = same auto
     fused_kernel_bwd: Optional[bool] = None
+    # bf16 conv messages (see AdaptedConv.msg_dtype); None = parity
+    msg_dtype: Optional[str] = None
     # feature-complementor options (reference KTGNN.py:340-341; all run.sh
     # configs use need_complement=False)
     need_complement: bool = False
@@ -453,6 +474,7 @@ class KTGNN(nn.Module):
                 fused_recompute_bwd=self.fused_recompute_bwd,
                 fused_kernel_fwd=self.fused_kernel_fwd,
                 fused_kernel_bwd=self.fused_kernel_bwd,
+                msg_dtype=self.msg_dtype,
             )(x, adj, cm, nm, halo)
             if self.use_bn:
                 x = MaskedBatchNorm(name=f"bns_{i}", axis_name=stats_axis)(
@@ -470,6 +492,7 @@ class KTGNN(nn.Module):
             fused_recompute_bwd=self.fused_recompute_bwd,
             fused_kernel_fwd=self.fused_kernel_fwd,
             fused_kernel_bwd=self.fused_kernel_bwd,
+            msg_dtype=self.msg_dtype,
         )(x, adj, cm, nm, halo)
         clf_target = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
@@ -477,6 +500,7 @@ class KTGNN(nn.Module):
             fused_recompute_bwd=self.fused_recompute_bwd,
             fused_kernel_fwd=self.fused_kernel_fwd,
             fused_kernel_bwd=self.fused_kernel_bwd,
+            msg_dtype=self.msg_dtype,
         )
         x_trans = ClfTransformer(self.hidden, name="clf_transformer",
                                  stats_axis=stats_axis)(
@@ -503,6 +527,7 @@ class KTGNNNoDTC(nn.Module):
     dropout: float = 0.5
     use_bn: bool = True
     axis_name: Optional[str] = None
+    msg_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
@@ -514,6 +539,7 @@ class KTGNNNoDTC(nn.Module):
             x = AdaptedConv(
                 out_dim, root_weight=self.root_weight,
                 axis_name=self.axis_name, name=f"convs_{i}",
+                msg_dtype=self.msg_dtype,
             )(x, adj, cm, nm)
             if not is_last:
                 if self.use_bn:

@@ -77,6 +77,11 @@ class Stage2Config:
     # reference-parity fp32); 'bfloat16' trades ~5e-3 activation drift for
     # MXU-native throughput (production knob)
     matmul_precision: Optional[str] = None
+    # bf16 conv messages for KTGNN-family models: halves the bytes the
+    # gather engine moves per edge slot — the hot-path bound (DESIGN.md
+    # §2). Output is cast back to f32 before BN; ~1e-2 activation drift.
+    # None = parity (messages keep the feature dtype)
+    message_dtype: Optional[str] = None
 
 
 def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array,
@@ -180,6 +185,7 @@ def build_model(cfg: Stage2Config, num_classes: int):
             root_weight=cfg.root_weight,
             dropout=cfg.dropout,
             use_bn=cfg.use_bn,
+            msg_dtype=cfg.message_dtype,
         )
     if cfg.model_name == "KTGNN" and not cfg.no_dtc:
         return KTGNN(
@@ -193,9 +199,17 @@ def build_model(cfg: Stage2Config, num_classes: int):
             dim_share=cfg.dim_share,
             step=cfg.complement_step,
             use_dist_loss=cfg.use_dist_loss,
+            msg_dtype=cfg.message_dtype,
         )
     from bridged_gnn_tpu.nn import backbones
 
+    if cfg.message_dtype is not None:
+        # refuse rather than silently ignore the knob on models that
+        # don't consume it
+        raise ValueError(
+            "message_dtype applies to KTGNN-family models; "
+            f"got model_name={cfg.model_name!r}"
+        )
     return backbones.build_backbone(cfg.model_name, cfg, num_classes)
 
 
