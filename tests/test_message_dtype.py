@@ -82,6 +82,31 @@ def test_golden_a2d_accuracy_with_bf16_messages(a2d_dict):
     assert res["best"]["test"] > 0.6, res["best"]
 
 
+def test_halo_step_runs_with_bf16_messages(rng):
+    """The halo row-partition path applies the same message cast; one
+    sharded train step must run finite on the 8-device mesh."""
+    from bridged_gnn_tpu.parallel import make_mesh
+    from bridged_gnn_tpu.parallel.halopart import make_halo_ktgnn_train_step
+    from bridged_gnn_tpu.train.optim import torch_adam
+
+    d = _graph(rng, n=160, e=800, d=16)
+    g = with_self_loops(graph_from_dict(d))
+    cfg = Stage2Config(hidden=16, use_scheduler=False, dropout=0.0,
+                       message_dtype="bfloat16")
+    model = KTGNN(num_classes=4, layer_num=2, hidden=16, dropout=0.0,
+                  msg_dtype="bfloat16")
+    adj = adjacency_from_graph(g, method="gather")
+    variables = model.init(jax.random.PRNGKey(0), g, adj, False)
+    params, bs = variables["params"], variables["batch_stats"]
+    mesh = make_mesh(8)
+    train_step, _ = make_halo_ktgnn_train_step(mesh, model, g, cfg)
+    tx = torch_adam(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+    _, _, _, loss = train_step(params, bs, opt_state,
+                               jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
 def test_refuses_non_ktgnn_models(rng):
     d = _graph(rng)
     cfg = Stage2Config(model_name="GraphSAGE", num_epoch=1,

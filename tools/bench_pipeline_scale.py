@@ -38,7 +38,7 @@ N_SRC = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 N_TAR = int(sys.argv[2]) if len(sys.argv) > 2 else 15000
 EPOCHS1 = 60 if N_SRC > 5000 else 8
 EPOCHS2 = 100 if N_SRC > 5000 else 10
-OUT = ("results_large_pipeline_tpu_r2.json" if N_SRC > 5000
+OUT = ("results_large_pipeline_tpu_r3.json" if N_SRC > 5000
        else "/tmp/pipeline_smoke.json")
 
 t_all = time.time()
@@ -57,6 +57,9 @@ cfg1 = Stage1Config(
     scan_epochs=10,               # round-2 TPU-native loop: one dispatch
                                   # per 10-epoch segment instead of one
                                   # host round trip per epoch
+    device_sampling=True,         # pairs drawn inside the scan body +
+                                  # counts-based device eval: zero H2D
+                                  # per segment (train/device_sampler.py)
 )
 res1 = train_adversarial(src_d, tar_d, cfg1)
 res["stage1_s"] = time.time() - t0
@@ -96,6 +99,7 @@ t0 = time.time()
 cfg2 = Stage2Config(
     num_epoch=EPOCHS2, hidden=64, to_undirected=True,
     matmul_precision="default",   # auto-engages the Mosaic kernels on TPU
+    message_dtype="bfloat16",     # halve gather bytes on the hot path
     adjacency_method="blocked", log_every=50,
     scan_epochs=25,               # lax.scan epochs: per-epoch eval preds
                                   # stream out as stacked arrays, one D2H
@@ -108,6 +112,7 @@ res["stage2_s_per_epoch"] = float(res2["mean_epoch_time"])
 
 res["total_s"] = time.time() - t_all
 res["round1_total_s"] = 473.4  # results_large_pipeline_tpu.json
+res["round2_total_s"] = 489.9  # results_large_pipeline_tpu_r2.json
 print(json.dumps(res, indent=2))
 with open(OUT, "w") as f:
     json.dump(res, f, indent=2)
