@@ -49,12 +49,18 @@ for n_nodes in (65536, 131072):
     import os as _os
 
     use_kernel = _os.environ.get("BGNN_KTGNN_KERNEL") == "1"
+    # BGNN_MSG_BF16=1: bf16 conv messages (Stage2Config.message_dtype) —
+    # halves gather bytes on the hot path
+    msg_dtype = (
+        "bfloat16" if _os.environ.get("BGNN_MSG_BF16") == "1" else None
+    )
     adj = adjacency_from_graph(
         g, method="blocked", node_block=128 if use_kernel else 256
     )
     assert adj.fast_fn is not None, "blocked ops unavailable (skew)"
     model = KTGNN(num_classes=8, layer_num=2, hidden=64,
-                  fused_kernel_fwd=use_kernel, fused_kernel_bwd=use_kernel)
+                  fused_kernel_fwd=use_kernel, fused_kernel_bwd=use_kernel,
+                  msg_dtype=msg_dtype)
     variables = model.init(jax.random.PRNGKey(0), g, adj, False)
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = torch_adam(1e-3, weight_decay=5e-4)
