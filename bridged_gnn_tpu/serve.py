@@ -127,6 +127,7 @@ class SimilarityScorer:
         )
         z_src = np.asarray(z_src)[: g_src.num_nodes].astype(np.float32)
         self.num_src = g_src.num_nodes
+        self.dim_in_tar = model.dim_in_tar
         if sim_mode == "mlp":
             d = decompose_pair_mlp_head(variables)
             self._cols = jnp.asarray(z_src @ d["w_src"])
@@ -134,6 +135,10 @@ class SimilarityScorer:
         else:
             self._cols = jnp.asarray(_embed_cosine_side(variables, z_src))
             self._head = None
+        # per-(rows_padded, k) jitted query programs: encode → per-side
+        # projection → blocked score+topk in ONE dispatch (the eager path
+        # re-traced the encoder per call)
+        self._programs = {}
 
     def _row_precompute(self, x_tar: np.ndarray, adj_tar=None) -> np.ndarray:
         """Encode query (target-domain) features through the target AE.
@@ -158,37 +163,120 @@ class SimilarityScorer:
         )
         return np.asarray(z)[: x_tar.shape[0]].astype(np.float32)
 
-    def topk_sources(self, x_tar: np.ndarray, k: int,
-                     adj_tar=None) -> Tuple[np.ndarray, np.ndarray]:
-        """Top-k most similar source nodes per query row."""
+    def _query_program(self, rows_padded: int, k: int):
+        """One jitted program: encode padded queries → per-side head
+        projection → blocked score + top-k. Cached per (rows_padded, k)
+        so repeated serving calls at the same batch shape are a single
+        device dispatch."""
+        key = (rows_padded, k)
+        if key in self._programs:
+            return self._programs[key]
         from bridged_gnn_tpu.ops.sddmm import (
             cosine_score_block,
             pair_mlp_score_block,
         )
 
-        z = self._row_precompute(x_tar, adj_tar)
-        n = z.shape[0]
-        rows_padded = (
-            (n + self.row_block - 1) // self.row_block
-        ) * self.row_block
-        if self.sim_mode == "mlp":
-            a = z @ self._head["w_tar"]
-            a_pad = np.zeros((rows_padded, a.shape[1]), dtype=np.float32)
-            a_pad[:n] = a
-            fn = pair_mlp_score_block(
-                jnp.asarray(a_pad), self._cols,
-                jnp.asarray(self._head["bias"]),
-                jnp.asarray(self._head["w2"]),
-                jnp.asarray(np.float32(self._head["b2"])),
+        adj_q = None
+        if self.model.backbone == "gnn":
+            # queries are served as isolated nodes (self-loop graph);
+            # structure depends only on rows_padded, so the adjacency is
+            # a per-program constant
+            from bridged_gnn_tpu.graph import build_graph
+            from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+
+            loops = np.arange(rows_padded, dtype=np.int64)
+            g = build_graph(
+                np.zeros((rows_padded, self.dim_in_tar), np.float32),
+                np.stack([loops, loops]),
             )
+            adj_q = adjacency_from_graph(g)
+        model, variables = self.model, self.variables
+        num_src, cols = self.num_src, self._cols
+        row_block = min(self.row_block, rows_padded)
+        if self.sim_mode == "mlp":
+            head = self._head
+            w_tar = jnp.asarray(head["w_tar"])
+            bias1 = jnp.asarray(head["bias"])
+            w2 = jnp.asarray(head["w2"])
+            b2 = jnp.asarray(np.float32(head["b2"]))
+
+            def run(x_pad, mask):
+                z = model.apply(
+                    variables, x_pad, adj_q, mask, False,
+                    method=lambda m, x, adj, msk, train:
+                        m.target_learner.encode(x, adj, msk, train)[0],
+                )
+                fn = pair_mlp_score_block(z @ w_tar, cols, bias1, w2, b2)
+                return blockwise_pair_scores_topk(
+                    fn, rows_padded, num_src, k, row_block=row_block
+                )
         else:
             from bridged_gnn_tpu.bridge.build import _embed_cosine_side
 
-            a = _embed_cosine_side(self.variables, z)
-            a_pad = np.zeros((rows_padded, a.shape[1]), dtype=np.float32)
-            a_pad[:n] = a
-            fn = cosine_score_block(jnp.asarray(a_pad), self._cols)
-        vals, idxs = blockwise_pair_scores_topk(
-            fn, n, self.num_src, k, row_block=self.row_block
+            def run(x_pad, mask):
+                z = model.apply(
+                    variables, x_pad, adj_q, mask, False,
+                    method=lambda m, x, adj, msk, train:
+                        m.target_learner.encode(x, adj, msk, train)[0],
+                )
+                fn = cosine_score_block(
+                    _embed_cosine_side(variables, z), cols
+                )
+                return blockwise_pair_scores_topk(
+                    fn, rows_padded, num_src, k, row_block=row_block
+                )
+
+        prog = jax.jit(run)
+        self._programs[key] = prog
+        return prog
+
+    def topk_sources(self, x_tar: np.ndarray, k: int,
+                     adj_tar=None) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k most similar source nodes per query row.
+
+        ``adj_tar``: optional adjacency when the queries form a real
+        graph (gnn backbone) — that path encodes eagerly; the default
+        isolated-query path runs as one cached jitted dispatch."""
+        from bridged_gnn_tpu.ops.sddmm import (
+            cosine_score_block,
+            pair_mlp_score_block,
         )
+
+        n = x_tar.shape[0]
+        if adj_tar is not None:
+            # caller-supplied query structure: eager fallback
+            z = self._row_precompute(x_tar, adj_tar)
+            rows_padded = (
+                (n + self.row_block - 1) // self.row_block
+            ) * self.row_block
+            if self.sim_mode == "mlp":
+                a = z @ self._head["w_tar"]
+                a_pad = np.zeros((rows_padded, a.shape[1]), np.float32)
+                a_pad[:n] = a
+                fn = pair_mlp_score_block(
+                    jnp.asarray(a_pad), self._cols,
+                    jnp.asarray(self._head["bias"]),
+                    jnp.asarray(self._head["w2"]),
+                    jnp.asarray(np.float32(self._head["b2"])),
+                )
+            else:
+                from bridged_gnn_tpu.bridge.build import _embed_cosine_side
+
+                a = _embed_cosine_side(self.variables, z)
+                a_pad = np.zeros((rows_padded, a.shape[1]), np.float32)
+                a_pad[:n] = np.asarray(a)
+                fn = cosine_score_block(jnp.asarray(a_pad), self._cols)
+            vals, idxs = blockwise_pair_scores_topk(
+                fn, n, self.num_src, k, row_block=self.row_block
+            )
+            return np.asarray(vals)[:n], np.asarray(idxs)[:n]
+
+        # pad to small row multiples (8) so single-query latency isn't
+        # charged a full 256-row tile
+        rows_padded = max(8, ((n + 7) // 8) * 8)
+        x_pad = np.zeros((rows_padded, x_tar.shape[1]), np.float32)
+        x_pad[:n] = x_tar
+        mask = np.arange(rows_padded) < n
+        prog = self._query_program(rows_padded, k)
+        vals, idxs = prog(jnp.asarray(x_pad), jnp.asarray(mask))
         return np.asarray(vals)[:n], np.asarray(idxs)[:n]
