@@ -118,3 +118,33 @@ def test_similarity_scorer_gnn_backbone(rng):
     )
     assert vals.shape == (6, 3) and idxs.shape == (6, 3)
     assert np.isfinite(vals).all()
+
+
+def test_scorer_padding_invariance(a2d_ckpt, rng):
+    """The jitted query program pads batches to 8-row multiples; results
+    for a row must not depend on its batch's padding or companions."""
+    from bridged_gnn_tpu.io.ckpt_import import load_adv_learner_variables
+    from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
+
+    model = AdversarialLearnerV2(
+        dim_in_src=256, dim_in_tar=256, num_classes_src=31,
+        num_classes_tar=31, dim_hidden=128, source_clf=True,
+        use_norm=True, norm_mode="None", backbone="mlp", sim_mode="mlp",
+    )
+    variables = load_adv_learner_variables(model, a2d_ckpt)
+    g_src = graph_from_dict(dict(
+        x=rng.normal(size=(60, 256)).astype(np.float32),
+        edge_index=np.zeros((2, 0), dtype=np.int64),
+        y=rng.integers(0, 31, size=60),
+    ))
+    scorer = SimilarityScorer(model, variables, g_src, sim_mode="mlp",
+                              row_block=16)
+    queries = rng.normal(size=(11, 256)).astype(np.float32)
+    v_all, i_all = scorer.topk_sources(queries, k=4)
+    v_one, i_one = scorer.topk_sources(queries[3:4], k=4)
+    np.testing.assert_array_equal(i_all[3], i_one[0])
+    np.testing.assert_allclose(v_all[3], v_one[0], rtol=1e-6)
+    # program cache: same shape hits the same compiled program
+    assert len(scorer._programs) == 2
+    scorer.topk_sources(queries[4:5], k=4)
+    assert len(scorer._programs) == 2
