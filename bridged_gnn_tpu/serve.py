@@ -137,8 +137,15 @@ class SimilarityScorer:
             self._head = None
         # per-(rows_padded, k) jitted query programs: encode → per-side
         # projection → blocked score+topk in ONE dispatch (the eager path
-        # re-traced the encoder per call)
-        self._programs = {}
+        # re-traced the encoder per call). LRU-bounded: (rows_padded, k)
+        # is client-controlled through the HTTP layer, and every program
+        # embeds the corpus projection as a constant — an unbounded cache
+        # would let a client cycling k / batch size grow server memory
+        # and recompile under the request lock without limit.
+        from collections import OrderedDict
+
+        self._programs = OrderedDict()
+        self._programs_max = 16
 
     def _row_precompute(self, x_tar: np.ndarray, adj_tar=None) -> np.ndarray:
         """Encode query (target-domain) features through the target AE.
@@ -163,19 +170,43 @@ class SimilarityScorer:
         )
         return np.asarray(z)[: x_tar.shape[0]].astype(np.float32)
 
-    def _query_program(self, rows_padded: int, k: int):
-        """One jitted program: encode padded queries → per-side head
-        projection → blocked score + top-k. Cached per (rows_padded, k)
-        so repeated serving calls at the same batch shape are a single
-        device dispatch."""
-        key = (rows_padded, k)
-        if key in self._programs:
-            return self._programs[key]
+    def _make_score_fn(self, a_rows):
+        """Score closure over already-projected query rows — the single
+        place the sim-mode head wiring lives (used by both the jitted
+        program and the eager adj_tar fallback)."""
         from bridged_gnn_tpu.ops.sddmm import (
             cosine_score_block,
             pair_mlp_score_block,
         )
 
+        if self.sim_mode == "mlp":
+            head = self._head
+            return pair_mlp_score_block(
+                a_rows, self._cols, jnp.asarray(head["bias"]),
+                jnp.asarray(head["w2"]),
+                jnp.asarray(np.float32(head["b2"])),
+            )
+        return cosine_score_block(a_rows, self._cols)
+
+    def _project_rows(self, z):
+        """Per-side head projection of encoded queries (mlp: first-layer
+        left factor; cosine: lin_self + biasatt residual)."""
+        if self.sim_mode == "mlp":
+            return z @ jnp.asarray(self._head["w_tar"])
+        from bridged_gnn_tpu.bridge.build import _embed_cosine_side
+
+        return _embed_cosine_side(self.variables, z)
+
+    def _query_program(self, rows_padded: int, k: int):
+        """One jitted program: encode padded queries → per-side head
+        projection → blocked score + top-k. Cached per (rows_padded, k)
+        so repeated serving calls at the same batch shape are a single
+        device dispatch; least-recently-used programs are evicted past
+        ``_programs_max``."""
+        key = (rows_padded, k)
+        if key in self._programs:
+            self._programs.move_to_end(key)
+            return self._programs[key]
         adj_q = None
         if self.model.backbone == "gnn":
             # queries are served as isolated nodes (self-loop graph);
@@ -191,43 +222,24 @@ class SimilarityScorer:
             )
             adj_q = adjacency_from_graph(g)
         model, variables = self.model, self.variables
-        num_src, cols = self.num_src, self._cols
+        num_src = self.num_src
         row_block = min(self.row_block, rows_padded)
-        if self.sim_mode == "mlp":
-            head = self._head
-            w_tar = jnp.asarray(head["w_tar"])
-            bias1 = jnp.asarray(head["bias"])
-            w2 = jnp.asarray(head["w2"])
-            b2 = jnp.asarray(np.float32(head["b2"]))
 
-            def run(x_pad, mask):
-                z = model.apply(
-                    variables, x_pad, adj_q, mask, False,
-                    method=lambda m, x, adj, msk, train:
-                        m.target_learner.encode(x, adj, msk, train)[0],
-                )
-                fn = pair_mlp_score_block(z @ w_tar, cols, bias1, w2, b2)
-                return blockwise_pair_scores_topk(
-                    fn, rows_padded, num_src, k, row_block=row_block
-                )
-        else:
-            from bridged_gnn_tpu.bridge.build import _embed_cosine_side
-
-            def run(x_pad, mask):
-                z = model.apply(
-                    variables, x_pad, adj_q, mask, False,
-                    method=lambda m, x, adj, msk, train:
-                        m.target_learner.encode(x, adj, msk, train)[0],
-                )
-                fn = cosine_score_block(
-                    _embed_cosine_side(variables, z), cols
-                )
-                return blockwise_pair_scores_topk(
-                    fn, rows_padded, num_src, k, row_block=row_block
-                )
+        def run(x_pad, mask):
+            z = model.apply(
+                variables, x_pad, adj_q, mask, False,
+                method=lambda m, x, adj, msk, train:
+                    m.target_learner.encode(x, adj, msk, train)[0],
+            )
+            fn = self._make_score_fn(self._project_rows(z))
+            return blockwise_pair_scores_topk(
+                fn, rows_padded, num_src, k, row_block=row_block
+            )
 
         prog = jax.jit(run)
         self._programs[key] = prog
+        while len(self._programs) > self._programs_max:
+            self._programs.popitem(last=False)
         return prog
 
     def topk_sources(self, x_tar: np.ndarray, k: int,
@@ -237,37 +249,20 @@ class SimilarityScorer:
         ``adj_tar``: optional adjacency when the queries form a real
         graph (gnn backbone) — that path encodes eagerly; the default
         isolated-query path runs as one cached jitted dispatch."""
-        from bridged_gnn_tpu.ops.sddmm import (
-            cosine_score_block,
-            pair_mlp_score_block,
-        )
-
         n = x_tar.shape[0]
         if adj_tar is not None:
-            # caller-supplied query structure: eager fallback
+            # caller-supplied query structure: eager fallback (shares the
+            # head wiring with the jitted path via _make_score_fn)
             z = self._row_precompute(x_tar, adj_tar)
             rows_padded = (
                 (n + self.row_block - 1) // self.row_block
             ) * self.row_block
-            if self.sim_mode == "mlp":
-                a = z @ self._head["w_tar"]
-                a_pad = np.zeros((rows_padded, a.shape[1]), np.float32)
-                a_pad[:n] = a
-                fn = pair_mlp_score_block(
-                    jnp.asarray(a_pad), self._cols,
-                    jnp.asarray(self._head["bias"]),
-                    jnp.asarray(self._head["w2"]),
-                    jnp.asarray(np.float32(self._head["b2"])),
-                )
-            else:
-                from bridged_gnn_tpu.bridge.build import _embed_cosine_side
-
-                a = _embed_cosine_side(self.variables, z)
-                a_pad = np.zeros((rows_padded, a.shape[1]), np.float32)
-                a_pad[:n] = np.asarray(a)
-                fn = cosine_score_block(jnp.asarray(a_pad), self._cols)
+            a = np.asarray(self._project_rows(jnp.asarray(z)))
+            a_pad = np.zeros((rows_padded, a.shape[1]), np.float32)
+            a_pad[:n] = a
             vals, idxs = blockwise_pair_scores_topk(
-                fn, n, self.num_src, k, row_block=self.row_block
+                self._make_score_fn(jnp.asarray(a_pad)), n, self.num_src,
+                k, row_block=self.row_block,
             )
             return np.asarray(vals)[:n], np.asarray(idxs)[:n]
 

@@ -38,6 +38,9 @@ N_SRC = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 N_TAR = int(sys.argv[2]) if len(sys.argv) > 2 else 15000
 EPOCHS1 = 60 if N_SRC > 5000 else 8
 EPOCHS2 = 100 if N_SRC > 5000 else 10
+# smoke lane must still fire stage-1 eval (epoch % eval_per_epoch == 0
+# within EPOCHS1), or stage1_cross_f1 stays at the sentinel
+EVAL_EVERY1 = 10 if EPOCHS1 > 20 else 2
 OUT = ("results_large_pipeline_tpu_r3.json" if N_SRC > 5000
        else "/tmp/pipeline_smoke.json")
 
@@ -52,7 +55,7 @@ res = {}
 t0 = time.time()
 cfg1 = Stage1Config(
     hidden_dim=128, num_epoch=EPOCHS1,
-    start_eval_epoch=max(EPOCHS1 - 20, 2), eval_per_epoch=10,
+    start_eval_epoch=max(EPOCHS1 - 20, 2), eval_per_epoch=EVAL_EVERY1,
     sample_size=40000, sim_mode="mlp", backbone="mlp", max_class_num=8,
     scan_epochs=10,               # round-2 TPU-native loop: one dispatch
                                   # per 10-epoch segment instead of one

@@ -32,7 +32,11 @@ from bridged_gnn_tpu.io.pyg_compat import (
 )
 from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
 from bridged_gnn_tpu.serve import KTGNNPredictor, SimilarityScorer
-from bridged_gnn_tpu.train.stage2 import Stage2Config, train_ktgnn
+from bridged_gnn_tpu.train.stage2 import (
+    Stage2Config,
+    build_model,
+    train_ktgnn,
+)
 
 CKPT = "/root/reference/ckpt/model_AdvLearner_office_amazon2dslr_best.ckpt"
 GRAPH = (
@@ -83,9 +87,7 @@ cfg = Stage2Config(num_epoch=5, hidden=64, to_undirected=True,
                    scan_epochs=5)
 trained = train_ktgnn(data, cfg)
 pred = KTGNNPredictor(
-    __import__(
-        "bridged_gnn_tpu.train.stage2", fromlist=["build_model"]
-    ).build_model(cfg, int(np.asarray(data["y"]).max()) + 1),
+    build_model(cfg, int(np.asarray(data["y"]).max()) + 1),
     {"params": trained["params"], "batch_stats": trained["batch_stats"]},
     data,
 )
