@@ -255,7 +255,7 @@ def _load_scorer(args):
         variables = sd  # framework pickle of {'params', 'batch_stats'}
     scorer = SimilarityScorer(
         model, variables, g_src, sim_mode=args.sim_mode,
-        row_block=args.row_block,
+        row_block=args.row_block, approx_recall=args.topk_recall,
     )
     meta = dict(
         mode="similarity", num_src=int(scorer.num_src),
@@ -296,6 +296,10 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--dim_tar", type=int, default=0,
                     help="target-domain feature dim if != corpus dim")
     ap.add_argument("--row_block", type=int, default=256)
+    # None = exact top-k; a float in (0,1] serves with the TPU-native
+    # approx_max_k selector at that recall target (same knob as bridge
+    # construction's --topk_recall; exact-sort fallback off-TPU)
+    ap.add_argument("--topk_recall", type=float, default=None)
     ap.add_argument("--verbose", action="store_true", default=False,
                     help="log each HTTP request")
     return ap

@@ -105,7 +105,12 @@ class SimilarityScorer:
 
     def __init__(self, model: AdversarialLearnerV2, variables,
                  g_src: Graph, adj_src=None, sim_mode: str = "mlp",
-                 row_block: int = 256):
+                 row_block: int = 256,
+                 approx_recall: Optional[float] = None):
+        """``approx_recall``: None = exact top-k; a float in (0, 1]
+        selects with TPU-native ``lax.approx_max_k`` at that recall
+        target — the same production knob as bridge construction
+        (BridgeConfig.approx_recall; 9x faster sweeps at 0.95)."""
         from bridged_gnn_tpu.bridge.build import (
             _embed_cosine_side,
             decompose_pair_mlp_head,
@@ -115,6 +120,7 @@ class SimilarityScorer:
         self.variables = variables
         self.sim_mode = sim_mode
         self.row_block = row_block
+        self.approx_recall = approx_recall
         if adj_src is None and model.backbone == "gnn":
             from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
 
@@ -233,7 +239,8 @@ class SimilarityScorer:
             )
             fn = self._make_score_fn(self._project_rows(z))
             return blockwise_pair_scores_topk(
-                fn, rows_padded, num_src, k, row_block=row_block
+                fn, rows_padded, num_src, k, row_block=row_block,
+                approx_recall=self.approx_recall,
             )
 
         prog = jax.jit(run)
@@ -263,6 +270,7 @@ class SimilarityScorer:
             vals, idxs = blockwise_pair_scores_topk(
                 self._make_score_fn(jnp.asarray(a_pad)), n, self.num_src,
                 k, row_block=self.row_block,
+                approx_recall=self.approx_recall,
             )
             return np.asarray(vals)[:n], np.asarray(idxs)[:n]
 

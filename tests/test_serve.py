@@ -148,3 +148,29 @@ def test_scorer_padding_invariance(a2d_ckpt, rng):
     assert len(scorer._programs) == 2
     scorer.topk_sources(queries[4:5], k=4)
     assert len(scorer._programs) == 2
+
+
+def test_scorer_approx_recall_knob(a2d_ckpt, rng):
+    """approx_recall plumbs through to the blocked top-k (exact-sort
+    fallback on CPU -> identical results, different code path)."""
+    from bridged_gnn_tpu.io.ckpt_import import load_adv_learner_variables
+    from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2
+
+    model = AdversarialLearnerV2(
+        dim_in_src=256, dim_in_tar=256, num_classes_src=31,
+        num_classes_tar=31, dim_hidden=128, source_clf=True,
+        use_norm=True, norm_mode="None", backbone="mlp", sim_mode="mlp",
+    )
+    variables = load_adv_learner_variables(model, a2d_ckpt)
+    g_src = graph_from_dict(dict(
+        x=rng.normal(size=(40, 256)).astype(np.float32),
+        edge_index=np.zeros((2, 0), dtype=np.int64),
+        y=rng.integers(0, 31, size=40),
+    ))
+    exact = SimilarityScorer(model, variables, g_src, sim_mode="mlp")
+    approx = SimilarityScorer(model, variables, g_src, sim_mode="mlp",
+                              approx_recall=0.95)
+    q = rng.normal(size=(5, 256)).astype(np.float32)
+    v1, i1 = exact.topk_sources(q, k=3)
+    v2, i2 = approx.topk_sources(q, k=3)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
