@@ -32,7 +32,18 @@ from bridged_gnn_tpu.train.stage2 import kl_batchmean, masked_nll  # noqa: E402
 res = {"platform": jax.devices()[0].platform}
 rng = np.random.default_rng(0)
 
-for n_nodes in (65536, 131072):
+# BGNN_SCALE_NODES: comma-separated node counts (default 65536,131072);
+# larger runs prove HBM capacity headroom (remat available via
+# KTGNN(remat=True) if a size overflows)
+import os as _os_sizes
+
+_sizes = tuple(
+    int(s) for s in _os_sizes.environ.get(
+        "BGNN_SCALE_NODES", "65536,131072"
+    ).split(",")
+)
+
+for n_nodes in _sizes:
     e = n_nodes * 17
     s = rng.integers(0, n_nodes, size=e).astype(np.int64)
     r = rng.integers(0, n_nodes, size=e).astype(np.int64)
