@@ -83,6 +83,11 @@ def build_argparser() -> argparse.ArgumentParser:
                     choices=["all", "sampling"])
     ap.add_argument("--sample_size", type=int, default=40000)
     ap.add_argument("--ckpt_dir", type=str, default="../ckpt")
+    ap.add_argument(
+        "--export_torch_ckpt", type=str, default=None,
+        help="also write the best model as a reference-layout torch "
+             "state_dict pickle (loadable by the reference's "
+             "gen_bridged_graph, main_bridged_graph.py:274)")
     ap.add_argument("--out_dir", type=str, default="../data_bridged_graph")
     ap.add_argument("--verbose", action="store_true", default=True)
     # >0: run up to this many epochs per device dispatch (lax.scan over
@@ -156,6 +161,17 @@ def main(args):
             src_d, tar_d, cfg, ckpt_path=ckpt_path if args.save else None
         )
     print("[stage-1 best]", res["best"])
+    if args.export_torch_ckpt:
+        from bridged_gnn_tpu.io.ckpt_import import (
+            flax_variables_to_torch_state_dict,
+            save_torch_state_dict,
+        )
+
+        save_torch_state_dict(
+            flax_variables_to_torch_state_dict(res["variables"]),
+            args.export_torch_ckpt,
+        )
+        print("exported torch state_dict to", args.export_torch_ckpt)
 
     # bridge construction from the best checkpoint
     g_src = graph_from_dict(src_d)

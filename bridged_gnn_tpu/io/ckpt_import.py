@@ -103,6 +103,83 @@ def load_adv_learner_variables(model, sd: Dict[str, np.ndarray]):
     return merge_into_variables(variables, params, bs)
 
 
+def _untranslate_path(parts: Tuple[str, ...]) -> Tuple[str, ...]:
+    """flax module path → torch module path (inverse of ``_translate_path``)."""
+    out = []
+    for p in parts:
+        if p == "backbone_net":
+            out.append("backbone")
+        elif out and out[-1] == "clf_transformer" and p in (
+            "lin_0", "bn_1", "lin_3"
+        ):
+            out.append(p.rsplit("_", 1)[1])
+        else:
+            for seq in _SEQ_MODULES:
+                stem, sep, idx = p.rpartition("_")
+                if sep and stem == seq and idx.isdigit():
+                    out.append(seq)
+                    out.append(idx)
+                    break
+            else:
+                out.append(p)
+    return tuple(out)
+
+
+def flax_variables_to_torch_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Export flax variables to the reference AdvLearner ``state_dict``
+    layout (inverse of ``torch_state_dict_to_flax``): Linear kernels are
+    transposed back to [out, in], BatchNorm scale/bias become weight/bias
+    with running stats from the ``batch_stats`` collection, and a zero
+    ``num_batches_tracked`` is emitted per BatchNorm (its value is not
+    tracked framework-side; the reference never reads it).
+
+    Reference consumer: ``main_bridged_graph.py:274`` loads exactly this
+    layout (verified in SURVEY §3.5)."""
+    var = unfreeze(variables)
+    sd: Dict[str, np.ndarray] = {}
+    # modules holding a 'scale' leaf are BatchNorms
+    bn_paths = {
+        path[:-1]
+        for path in flatten_dict(var.get("params", {}))
+        if path[-1] == "scale"
+    }
+    for path, val in flatten_dict(var.get("params", {})).items():
+        mod, leaf = path[:-1], path[-1]
+        prefix = ".".join(_untranslate_path(mod))
+        arr = np.asarray(val)
+        if leaf == "scale":
+            sd[f"{prefix}.weight"] = arr
+        elif leaf == "kernel":
+            sd[f"{prefix}.weight"] = arr.T if arr.ndim == 2 else arr
+        elif leaf == "bias":
+            sd[f"{prefix}.bias"] = arr
+        else:
+            raise KeyError(f"unexpected param leaf {path}")
+    for path, val in flatten_dict(var.get("batch_stats", {})).items():
+        mod, leaf = path[:-1], path[-1]
+        prefix = ".".join(_untranslate_path(mod))
+        name = {"mean": "running_mean", "var": "running_var"}[leaf]
+        sd[f"{prefix}.{name}"] = np.asarray(val)
+    for mod in bn_paths:
+        prefix = ".".join(_untranslate_path(mod))
+        sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+    return sd
+
+
+def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
+    """Write a ``{name: array}`` state_dict as a torch pickle the reference
+    can ``torch.load`` + ``load_state_dict`` directly."""
+    import os
+
+    import torch
+
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    torch.save(
+        {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}, path
+    )
+
+
 def merge_into_variables(variables, params, batch_stats):
     """Overwrite a flax variables template with imported tensors, verifying
     that every imported leaf matches an existing leaf's shape."""
