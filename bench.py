@@ -171,7 +171,6 @@ def main():
         f"({cpu_eps/1e6:.1f} Medges/s)",
         file=sys.stderr,
     )
-    print(
     out = {
         "metric": metric,
         "value": round(dev_eps),
