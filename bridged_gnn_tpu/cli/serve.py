@@ -42,24 +42,32 @@ class ServingApp:
 
     def __init__(self, scorer=None, predictor=None,
                  meta: Optional[Dict[str, Any]] = None,
-                 verbose: bool = False):
+                 verbose: bool = False,
+                 max_request_bytes: int = 64 * 1024 * 1024,
+                 max_query_rows: int = 4096):
         if scorer is None and predictor is None:
             raise ValueError("need at least one of scorer/predictor")
         self.scorer = scorer
         self.predictor = predictor
         self.meta = dict(meta or {})
         self.verbose = verbose  # request logging in the HTTP handler
+        # request-size guards: one oversized POST must not OOM the
+        # process or jit-compile an unbounded program under the lock
+        self.max_request_bytes = int(max_request_bytes)
+        self.max_query_rows = int(max_query_rows)
         # serialize device work: one request computes at a time
         self._lock = threading.Lock()
         self._predictions = None
         if predictor is not None:
             # graph + weights are fixed -> predictions are, too
             self._predictions = predictor.predict()
-
-    def healthz(self) -> Dict[str, Any]:
+        # backend cannot change for the process lifetime: resolve once
         import jax
 
-        return {"status": "ok", "backend": jax.devices()[0].platform}
+        self._backend = jax.devices()[0].platform
+
+    def healthz(self) -> Dict[str, Any]:
+        return {"status": "ok", "backend": self._backend}
 
     def topk(self, body: Dict[str, Any]) -> Dict[str, Any]:
         if self.scorer is None:
@@ -67,6 +75,10 @@ class ServingApp:
         x = np.asarray(body.get("x"), dtype=np.float32)
         if x.ndim != 2:
             raise _ApiError(400, "'x' must be a 2-D array of query rows")
+        if x.shape[0] > self.max_query_rows:
+            raise _ApiError(
+                413, f"at most {self.max_query_rows} query rows per "
+                     f"request, got {x.shape[0]}")
         want_dim = getattr(self.scorer.model, "dim_in_tar", None)
         if want_dim is not None and x.shape[1] != want_dim:
             raise _ApiError(
@@ -134,6 +146,10 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length > self.app.max_request_bytes:
+                raise _ApiError(
+                    413, f"request body of {length} bytes exceeds the "
+                         f"{self.app.max_request_bytes} byte limit")
             body = json.loads(self.rfile.read(length) or b"{}")
             if self.path == "/v1/topk":
                 return self._send(200, self.app.topk(body))
@@ -144,6 +160,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(e.code, {"error": e.message})
         except (json.JSONDecodeError, TypeError, ValueError) as e:
             return self._send(400, {"error": str(e)})
+        except Exception as e:  # model/device errors -> JSON 500,
+            # not a dropped connection
+            return self._send(
+                500, {"error": f"{type(e).__name__}: {e}"})
 
 
 def make_server(app: ServingApp, host: str = "127.0.0.1",
@@ -207,7 +227,9 @@ def _load_predictor(args):
             matmul_precision=cfg.matmul_precision,
         )
         return ServingApp(predictor=predictor, meta=meta,
-                          verbose=args.verbose)
+                          verbose=args.verbose,
+                          max_request_bytes=args.max_request_bytes,
+                          max_query_rows=args.max_query_rows)
 
 
 def _is_torch_state_dict(obj) -> bool:
@@ -233,9 +255,18 @@ def _load_scorer(args):
 
     try:
         sd = load_torch_state_dict(args.ckpt)
-    except Exception:
-        with open(args.ckpt, "rb") as f:
-            sd = pickle.load(f)
+    except Exception as torch_err:
+        # not a torch checkpoint -> framework pickle; if that fails too,
+        # surface BOTH causes instead of masking the torch error
+        try:
+            with open(args.ckpt, "rb") as f:
+                sd = pickle.load(f)
+        except Exception as pickle_err:
+            raise SystemExit(
+                f"{args.ckpt} loads neither as a torch state_dict "
+                f"({type(torch_err).__name__}: {torch_err}) nor as a "
+                f"framework pickle "
+                f"({type(pickle_err).__name__}: {pickle_err})")
     d_in = int(corpus["x"].shape[1])
     n_cls = int(np.asarray(corpus["y"]).max()) + 1
     model = AdversarialLearnerV2(
@@ -262,7 +293,9 @@ def _load_scorer(args):
         dim_in=d_in, dim_query=int(model.dim_in_tar),
         sim_mode=args.sim_mode, backbone=args.backbone,
     )
-    return ServingApp(scorer=scorer, meta=meta, verbose=args.verbose)
+    return ServingApp(scorer=scorer, meta=meta, verbose=args.verbose,
+                      max_request_bytes=args.max_request_bytes,
+                      max_query_rows=args.max_query_rows)
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -302,6 +335,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--topk_recall", type=float, default=None)
     ap.add_argument("--verbose", action="store_true", default=False,
                     help="log each HTTP request")
+    ap.add_argument("--max_request_bytes", type=int,
+                    default=64 * 1024 * 1024,
+                    help="reject POST bodies larger than this (413)")
+    ap.add_argument("--max_query_rows", type=int, default=4096,
+                    help="max query rows per /v1/topk request (413)")
     return ap
 
 

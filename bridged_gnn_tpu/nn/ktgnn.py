@@ -136,15 +136,9 @@ class AdaptedConv(nn.Module):
                     lay.tile_e, lay.node_block, self.out_channels,
                     itemsize=isz,
                 )
-                # the backward kernel's working set is strictly larger
-                # (dm/dud/dout blocks + doubled dz temps); no measured
-                # failure point exists yet, so gate it conservatively at
-                # 75% of the forward budget (the proven fwd+bwd config
-                # sits at 72%) — near-envelope layouts run the Mosaic
-                # forward with the XLA backward
-                kernel_bwd_ok = kernel_ok and pallas_fused.fits_vmem(
+                kernel_bwd_ok = kernel_ok and pallas_fused.fits_vmem_bwd(
                     lay.tile_e, lay.node_block, self.out_channels,
-                    itemsize=isz, budget=int(0.75 * pallas_fused._VMEM_BUDGET),
+                    itemsize=isz,
                 )
             if kernel_ok or self.fused_recompute_bwd:
                 # custom-VJP variants. kernel_fwd: the whole attention

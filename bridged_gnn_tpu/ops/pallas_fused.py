@@ -70,6 +70,20 @@ def fits_vmem(
     return est <= budget
 
 
+def fits_vmem_bwd(
+    tile_e: int, node_block: int, dch: int, itemsize: int = 4,
+) -> bool:
+    """Backward-kernel gate. The backward working set is strictly larger
+    (dm/dud/dout blocks + doubled dz temps); no measured failure point
+    exists yet, so gate conservatively at 75% of the forward budget (the
+    proven fwd+bwd config sits at 72%). Near-envelope layouts run the
+    Mosaic forward with the XLA backward."""
+    return fits_vmem(
+        tile_e, node_block, dch, itemsize=itemsize,
+        budget=int(0.75 * _VMEM_BUDGET),
+    )
+
+
 def default_interpret() -> bool:
     """Interpreter mode off-TPU so the kernel path works in CPU tests."""
     return jax.default_backend() != "tpu"

@@ -229,7 +229,12 @@ class SimilarityScorer:
             adj_q = adjacency_from_graph(g)
         model, variables = self.model, self.variables
         num_src = self.num_src
-        row_block = min(self.row_block, rows_padded)
+        # pick a row_block whose internal padding (blockwise pads rows
+        # to a row_block multiple) stays within one 8-row tile: e.g.
+        # n=257 → rows_padded=264 → two 136-row blocks (272 scored rows)
+        # instead of two 256-row blocks (512 scored rows, ~50% waste)
+        n_blocks = -(-rows_padded // min(self.row_block, rows_padded))
+        row_block = ((-(-rows_padded // n_blocks) + 7) // 8) * 8
 
         def run(x_pad, mask):
             z = model.apply(

@@ -158,9 +158,7 @@ def prepare_stage2_graph(
     # Zoo backbones keep the nb=256 layout tuned for the XLA reduce.
     from bridged_gnn_tpu.ops import pallas_fused
 
-    kernel_capable = cfg.model_name in ("KTGNN", "KTGNN_noDTC") or (
-        cfg.no_dtc and cfg.model_name == "KTGNN"
-    )
+    kernel_capable = cfg.model_name in ("KTGNN", "KTGNN_noDTC")
     node_block = (
         128 if (kernel_capable and pallas_fused.auto_kernel()) else 256
     )

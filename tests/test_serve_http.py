@@ -170,3 +170,43 @@ def test_cli_predictor_loading(tmp_path, served):
     app = _load_predictor(args)
     out = app.predict({"head": "target_hat"})
     assert len(out["labels"]) == data["x"].shape[0]
+
+
+class _StubScorer:
+    """Minimal scorer surface for HTTP-guard tests (no device work)."""
+    num_src = 40
+    model = type("_M", (), {"dim_in_tar": 12})()
+
+    def topk_sources(self, x, k):
+        if x.shape[0] > 1:
+            raise RuntimeError("boom")  # exercises the 500 path
+        return (np.zeros((x.shape[0], k), np.float32),
+                np.zeros((x.shape[0], k), np.int64))
+
+
+def test_request_guards_and_500():
+    app = ServingApp(scorer=_StubScorer(), meta={"mode": "similarity"},
+                     max_request_bytes=10_000, max_query_rows=2)
+    srv = make_server(app, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    port = srv.server_address[1]
+    try:
+        # within limits -> 200
+        code, body = _call(port, "/v1/topk", {"x": [[0.0] * 12], "k": 3})
+        assert code == 200 and len(body["indices"]) == 1
+        # oversized body -> 413 before any parsing/compute
+        code, body = _call(
+            port, "/v1/topk",
+            {"x": [[0.0] * 12], "k": 1, "pad": "x" * 20_000})
+        assert code == 413 and "byte limit" in body["error"]
+        # too many query rows -> 413
+        code, body = _call(
+            port, "/v1/topk", {"x": [[0.0] * 12] * 3, "k": 1})
+        assert code == 413 and "query rows" in body["error"]
+        # model-path runtime error -> JSON 500, not a dropped connection
+        code, body = _call(
+            port, "/v1/topk", {"x": [[0.0] * 12] * 2, "k": 1})
+        assert code == 500 and "RuntimeError" in body["error"]
+    finally:
+        srv.shutdown()
