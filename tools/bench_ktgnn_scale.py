@@ -71,8 +71,15 @@ for n_nodes in _sizes:
     assert adj.fast_fn is not None, "blocked ops unavailable (skew)"
     model = KTGNN(num_classes=8, layer_num=2, hidden=64,
                   fused_kernel_fwd=use_kernel, fused_kernel_bwd=use_kernel,
-                  msg_dtype=msg_dtype)
-    variables = model.init(jax.random.PRNGKey(0), g, adj, False)
+                  msg_dtype=msg_dtype,
+                  # BGNN_REMAT=1: jax.checkpoint on the convs — the HBM
+                  # knob for sizes whose backward residuals overflow
+                  remat=_os.environ.get("BGNN_REMAT") == "1")
+    # jit the init: the eager init-forward materializes every
+    # intermediate and OOMs at ~524k nodes; under jit XLA frees them
+    variables = jax.jit(
+        lambda k: model.init(k, g, adj, False)
+    )(jax.random.PRNGKey(0))
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = torch_adam(1e-3, weight_decay=5e-4)
     opt_state = tx.init(params)
@@ -124,7 +131,8 @@ for n_nodes in _sizes:
         loss=float(loss),
     )
     print(json.dumps(res[str(n_nodes)]))
+    # incremental write: an OOM at a later size must not lose this one
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
 
-with open(out_path, "w") as f:
-    json.dump(res, f, indent=1)
 print(json.dumps(res))
