@@ -172,7 +172,13 @@ def main():
     metric = "spmm_edges_per_sec_chip"
     if res is None:
         res = bench_device("cpu")
-        metric = "spmm_edges_per_sec_chip_CPU_FALLBACK_TUNNEL_DOWN"
+        # distinct labels: a deterministic bench failure with the tunnel
+        # alive is not a tunnel outage (ADVICE r2)
+        metric = (
+            "spmm_edges_per_sec_chip_CPU_FALLBACK_BENCH_FAILED"
+            if bench_failures >= 2
+            else "spmm_edges_per_sec_chip_CPU_FALLBACK_TUNNEL_DOWN"
+        )
     if res is None:
         print(json.dumps({"metric": metric, "value": 0, "unit": "edges/s",
                           "vs_baseline": 0.0}))

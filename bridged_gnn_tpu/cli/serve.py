@@ -30,6 +30,7 @@ from __future__ import annotations
 import argparse
 import json
 import pickle
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional
@@ -160,10 +161,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(e.code, {"error": e.message})
         except (json.JSONDecodeError, TypeError, ValueError) as e:
             return self._send(400, {"error": str(e)})
-        except Exception as e:  # model/device errors -> JSON 500,
-            # not a dropped connection
-            return self._send(
-                500, {"error": f"{type(e).__name__}: {e}"})
+        except Exception:  # model/device errors -> JSON 500,
+            # not a dropped connection. The exception detail (paths,
+            # internals) is logged server-side only — clients get a
+            # generic message (ADVICE r2)
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            return self._send(500, {"error": "internal error"})
 
 
 def make_server(app: ServingApp, host: str = "127.0.0.1",

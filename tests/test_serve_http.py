@@ -204,9 +204,11 @@ def test_request_guards_and_500():
         code, body = _call(
             port, "/v1/topk", {"x": [[0.0] * 12] * 3, "k": 1})
         assert code == 413 and "query rows" in body["error"]
-        # model-path runtime error -> JSON 500, not a dropped connection
+        # model-path runtime error -> JSON 500, not a dropped connection;
+        # the body is generic — exception detail stays server-side
         code, body = _call(
             port, "/v1/topk", {"x": [[0.0] * 12] * 2, "k": 1})
-        assert code == 500 and "RuntimeError" in body["error"]
+        assert code == 500 and body["error"] == "internal error"
+        assert "RuntimeError" not in body["error"]
     finally:
         srv.shutdown()
