@@ -97,6 +97,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # body: zero H2D per segment. Distribution-equivalent to the host
     # sampler, different stream (production knob; requires --scan_epochs)
     ap.add_argument("--device_sampling", action="store_true")
+    # operational numerics guard: assert params + losses finite at every
+    # eval boundary
+    ap.add_argument("--check_numerics", action="store_true")
     # capture an XLA profiler trace of stage-1 training into this
     # directory (TensorBoard/XProf-viewable; SURVEY §5.1)
     ap.add_argument("--profile_dir", type=str, default=None)
@@ -143,6 +146,7 @@ def main(args):
         verbose=args.verbose,
         scan_epochs=args.scan_epochs,
         device_sampling=args.device_sampling,
+        check_numerics=args.check_numerics,
     )
     os.makedirs(args.ckpt_dir, exist_ok=True)
     ckpt_path = os.path.join(

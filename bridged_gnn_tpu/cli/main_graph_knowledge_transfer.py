@@ -57,6 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
     # eval streams O(num_classes) confusion counts instead of O(N)
     # predictions). Ignored with --save or --eval_metric auc.
     ap.add_argument("--scan_epochs", type=int, default=0)
+    # operational numerics guard: finite params/loss + attention-logit
+    # spread inside the block-max softmax envelope at every eval boundary
+    ap.add_argument("--check_numerics", action="store_true")
     # capture an XLA profiler trace of the whole training run into this
     # directory (TensorBoard/XProf-viewable; SURVEY §5.1)
     ap.add_argument("--profile_dir", type=str, default=None)
@@ -99,6 +102,7 @@ def main(args):
             matmul_precision=args.matmul_precision,
             message_dtype=args.message_dtype,
             scan_epochs=args.scan_epochs,
+            check_numerics=args.check_numerics,
         )
     else:
         cfg = Stage2Config(
@@ -110,6 +114,7 @@ def main(args):
             matmul_precision=args.matmul_precision,
             message_dtype=args.message_dtype,
             scan_epochs=args.scan_epochs,
+            check_numerics=args.check_numerics,
         )
     if args.profile_dir:
         from bridged_gnn_tpu.utils.profiling import trace

@@ -159,7 +159,7 @@ def chunk_meta(
     dst = np.ascontiguousarray(dst_sorted, dtype=np.int64)
     n_blocks = -(-num_nodes_padded // node_block)
     if lib is None:
-        from bridged_gnn_tpu.ops.pallas_segment import build_chunk_meta
+        from bridged_gnn_tpu.ops.chunk_meta import build_chunk_meta
 
         m = build_chunk_meta(dst, len(dst), num_nodes_padded, node_block,
                              edge_chunk)

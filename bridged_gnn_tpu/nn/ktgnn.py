@@ -71,6 +71,12 @@ class AdaptedConv(nn.Module):
     # Gated shifts, logits math, softmax statistics, and the output
     # (cast back to x.dtype before BN) stay f32. None = x.dtype (parity)
     msg_dtype: Optional[str] = None
+    # check-numerics diagnostic: sow the per-dst-block logit spread
+    # (ops/fused_attention.block_logit_spread) into the 'diagnostics'
+    # collection — the Mosaic kernel's block-max softmax shift silently
+    # underflows if this exceeds ~80 (see pallas_fused module docstring).
+    # Only active on the custom-VJP fused branch (where the kernel runs)
+    debug_spread: bool = False
 
     @nn.compact
     def __call__(
@@ -169,6 +175,18 @@ class AdaptedConv(nn.Module):
                     u_t2s, u_s2t, u_t2s, u_s2t,
                     central_mask.astype(jnp.float32), a1, a2,
                 )
+                if self.debug_spread:
+                    from bridged_gnn_tpu.ops.fused_attention import (
+                        block_logit_spread,
+                    )
+
+                    self.sow(
+                        "diagnostics", "logit_spread",
+                        block_logit_spread(
+                            adj.fast_fn, u_t2s, u_s2t, central_mask,
+                            a1, a2, self.negative_slope,
+                        ),
+                    )
             else:
                 from bridged_gnn_tpu.ops.fused_attention import (
                     adapted_attention,
@@ -430,6 +448,8 @@ class KTGNN(nn.Module):
     fused_kernel_bwd: Optional[bool] = None
     # bf16 conv messages (see AdaptedConv.msg_dtype); None = parity
     msg_dtype: Optional[str] = None
+    # sow per-conv block-logit-spread diagnostics (check_numerics mode)
+    debug_spread: bool = False
     # feature-complementor options (reference KTGNN.py:340-341; all run.sh
     # configs use need_complement=False)
     need_complement: bool = False
@@ -469,6 +489,7 @@ class KTGNN(nn.Module):
                 fused_kernel_fwd=self.fused_kernel_fwd,
                 fused_kernel_bwd=self.fused_kernel_bwd,
                 msg_dtype=self.msg_dtype,
+                debug_spread=self.debug_spread,
             )(x, adj, cm, nm, halo)
             if self.use_bn:
                 x = MaskedBatchNorm(name=f"bns_{i}", axis_name=stats_axis)(
@@ -487,6 +508,7 @@ class KTGNN(nn.Module):
             fused_kernel_fwd=self.fused_kernel_fwd,
             fused_kernel_bwd=self.fused_kernel_bwd,
             msg_dtype=self.msg_dtype,
+            debug_spread=self.debug_spread,
         )(x, adj, cm, nm, halo)
         clf_target = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
@@ -495,6 +517,7 @@ class KTGNN(nn.Module):
             fused_kernel_fwd=self.fused_kernel_fwd,
             fused_kernel_bwd=self.fused_kernel_bwd,
             msg_dtype=self.msg_dtype,
+            debug_spread=self.debug_spread,
         )
         x_trans = ClfTransformer(self.hidden, name="clf_transformer",
                                  stats_axis=stats_axis)(
@@ -522,6 +545,7 @@ class KTGNNNoDTC(nn.Module):
     use_bn: bool = True
     axis_name: Optional[str] = None
     msg_dtype: Optional[str] = None
+    debug_spread: bool = False
 
     @nn.compact
     def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
@@ -534,6 +558,7 @@ class KTGNNNoDTC(nn.Module):
                 out_dim, root_weight=self.root_weight,
                 axis_name=self.axis_name, name=f"convs_{i}",
                 msg_dtype=self.msg_dtype,
+                debug_spread=self.debug_spread,
             )(x, adj, cm, nm)
             if not is_last:
                 if self.use_bn:

@@ -1,6 +1,7 @@
 """Blocked one-hot-matmul segment-sum in pure XLA (no Pallas).
 
-Same algorithm as ops/pallas_segment.py — for each node block, reduce its
+Same algorithm as the retired chunked Pallas kernel (now ops/chunk_meta.py
+keeps only its host meta builder) — for each node block, reduce its
 contiguous (dst-sorted) edge range with ``one_hot(ids) @ msg`` matmuls on
 the MXU — expressed with ``lax.map`` + ``dynamic_slice`` so it compiles
 through stock XLA. This path exists because remote Mosaic compilation is

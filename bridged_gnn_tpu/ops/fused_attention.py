@@ -233,6 +233,55 @@ def make_adapted_attention(
     return fused
 
 
+def block_logit_spread(
+    ops: BlockedOps,
+    u1: jax.Array,
+    u2: jax.Array,
+    central: jax.Array,
+    a1: jax.Array,            # [D] GATv2 logit projection (a_f_t2s)
+    a2: jax.Array,            # [D] (a_f_s2t)
+    negative_slope: float = 0.1,
+    u1_dst: jax.Array = None,
+    u2_dst: jax.Array = None,
+) -> jax.Array:
+    """Max over destination blocks of (max − min) valid-slot logit.
+
+    This is the quantity the Mosaic kernel's block-max softmax shift
+    (ops/pallas_fused.py) assumes stays well below ~80: the kernel
+    shifts by the *block* max instead of the per-destination max, which
+    is exact until exp underflows at a spread of ~88 (f32). The failure
+    would be silent (wrong attention, not NaN), so ``check_numerics``
+    mode recomputes the logits in XLA and asserts the spread
+    (train/stage2.py). Debug-path cost: one extra row gather + the
+    logit einsums.
+    """
+    lay = ops.lay_dst
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    valid = lay.slot_mask.reshape(B, Et)
+    if u1_dst is None:
+        u1_dst, u2_dst = u1, u2
+    dch = u1.shape[-1]
+    m = ops.gather_slots(jnp.concatenate([u1, u2], axis=-1))
+    d = padded_dst_expand(
+        lay, jnp.concatenate([u1_dst, u2_dst], axis=-1)
+    )
+    h1 = jax.nn.leaky_relu(m[..., :dch] + d[..., :dch], negative_slope)
+    h2 = jax.nn.leaky_relu(m[..., dch:] + d[..., dch:], negative_slope)
+    l1 = jnp.einsum("bed,d->be", h1, a1.astype(h1.dtype))
+    l2 = jnp.einsum("bed,d->be", h2, a2.astype(h2.dtype))
+    n_full = B * nb
+    c_pad = jnp.pad(
+        central.astype(jnp.float32), (0, n_full - central.shape[0])
+    )
+    c_slot = padded_block_expand(lay, c_pad.reshape(B, nb, 1))[..., 0]
+    logit = jnp.where(c_slot > 0.5, l1, l2).astype(jnp.float32)
+    blk_max = jnp.max(jnp.where(valid, logit, _NEG), axis=1)     # [B]
+    blk_min = jnp.min(jnp.where(valid, logit, -_NEG), axis=1)
+    has_valid = jnp.any(valid, axis=1)
+    spread = jnp.where(has_valid, blk_max - blk_min, 0.0)
+    return jnp.max(spread)
+
+
 def adapted_attention(
     ops: BlockedOps,
     u1: jax.Array,            # [N_in, D] messages when dst is central (t2s)

@@ -50,6 +50,12 @@ _NEG = -1e30
 # one-hot scratch plus Mosaic's two contraction copies of it dominate
 _VMEM_BUDGET = 12 * 1024 * 1024
 
+# Guarded envelope for the block-max softmax shift (module docstring):
+# exp underflows at a spread of ~88 in f32; 60 leaves margin for the
+# accumulated shift error. check_numerics mode (train/stage2.py) asserts
+# the measured per-dst-block logit spread stays below this.
+SOFTMAX_SPREAD_LIMIT = 60.0
+
 
 def fits_vmem(
     tile_e: int, node_block: int, dch: int, itemsize: int = 4,

@@ -5,10 +5,6 @@ from bridged_gnn_tpu.parallel.edgeshard import (  # noqa: F401
     sharded_spmm,
 )
 from bridged_gnn_tpu.parallel.topk import sharded_pair_topk  # noqa: F401
-from bridged_gnn_tpu.parallel.rowpart import (  # noqa: F401
-    build_row_partition,
-    rowpart_spmm,
-)
 from bridged_gnn_tpu.parallel.halopart import (  # noqa: F401
     build_halo_partition,
     make_halo_ktgnn_train_step,

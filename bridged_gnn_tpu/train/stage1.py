@@ -78,6 +78,10 @@ class Stage1Config:
     # quantile filter restricting pair eval to high-confidence predictions
     # (reference conf_lower_bound, scripts.py:350-358); None = all pairs
     conf_lower_bound: Optional[float] = None
+    # operational numerics guard (SURVEY §5.2): assert params + similarity
+    # loss finite at every eval boundary (utils/sanitizers). CLI:
+    # --check_numerics
+    check_numerics: bool = False
 
 
 def bce(probs, targets):
@@ -827,6 +831,15 @@ def train_adversarial(
 
         def maybe_eval(epoch, train_scores, loss_sim):
             nonlocal best_vars
+            if cfg.check_numerics:
+                from bridged_gnn_tpu.utils.sanitizers import (
+                    assert_all_finite,
+                )
+
+                assert_all_finite(
+                    {"loss_sim": np.asarray(loss_sim), "params": params},
+                    f"stage-1 state at epoch {epoch}",
+                )
             if (
                 epoch >= cfg.start_eval_epoch
                 and epoch % cfg.eval_per_epoch == 0

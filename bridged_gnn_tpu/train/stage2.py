@@ -82,6 +82,13 @@ class Stage2Config:
     # §2). Output is cast back to f32 before BN; ~1e-2 activation drift.
     # None = parity (messages keep the feature dtype)
     message_dtype: Optional[str] = None
+    # operational numerics guard (SURVEY §5.2): at every eval boundary,
+    # assert params/loss finite (utils/sanitizers.assert_all_finite) and
+    # — on KTGNN-family fused layouts — assert the per-dst-block
+    # attention-logit spread stays below the Mosaic kernel's block-max
+    # softmax envelope (silent exp-underflow otherwise; see
+    # ops/pallas_fused docstring). CLI: --check_numerics
+    check_numerics: bool = False
 
 
 def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array,
@@ -429,6 +436,53 @@ def _train_ktgnn_impl(data, cfg):
         }
         return scores, per_head
 
+    # --- check_numerics guards (cfg.check_numerics; SURVEY §5.2) ---
+    spread_fn = None
+    numerics_state = {"max_spread": 0.0}
+    if cfg.check_numerics and is_ktgnn and (
+        adj.fast_fn is not None
+        and getattr(adj.fast_fn, "gather_slots", None) is not None
+        and not (adj.use_dense)
+    ):
+        # re-run the model with spread diagnostics sown on the custom-VJP
+        # fused branch (forced via fused_recompute_bwd — identical param
+        # structure, see nn/common.ParamKernel)
+        dbg_model = model.clone(debug_spread=True, fused_recompute_bwd=True)
+
+        @jax.jit
+        def spread_fn(params, batch_stats):
+            _, diag = dbg_model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                g, adj, False, mutable=["diagnostics"],
+            )
+            leaves = jax.tree_util.tree_leaves(diag)
+            return jnp.max(jnp.stack([jnp.ravel(v)[0] for v in leaves]))
+
+    def numerics_check(params, batch_stats, losses, epoch):
+        """Raises FloatingPointError on non-finite state or a logit
+        spread outside the block-max softmax envelope."""
+        if not cfg.check_numerics:
+            return
+        from bridged_gnn_tpu.ops.pallas_fused import SOFTMAX_SPREAD_LIMIT
+        from bridged_gnn_tpu.utils.sanitizers import assert_all_finite
+
+        assert_all_finite(
+            {"loss": np.asarray(losses), "params": params},
+            f"train state at epoch {epoch}",
+        )
+        if spread_fn is not None:
+            sp = float(spread_fn(params, batch_stats))
+            numerics_state["max_spread"] = max(
+                numerics_state["max_spread"], sp
+            )
+            if sp > SOFTMAX_SPREAD_LIMIT:
+                raise FloatingPointError(
+                    f"attention logit spread {sp:.1f} at epoch {epoch} "
+                    f"exceeds the block-max softmax envelope "
+                    f"({SOFTMAX_SPREAD_LIMIT}) — the Mosaic kernel path "
+                    "would silently underflow; check feature scaling/init"
+                )
+
     best = {"train": 0.0, "val": 0.0, "test": 0.0, "loss": 666.0,
             "epoch": -1}
     best_variables = None
@@ -479,6 +533,7 @@ def _train_ktgnn_impl(data, cfg):
                 params, batch_stats, opt_state, rng, k
             )
             losses, losses_t2, counts = (np.asarray(a) for a in ys)
+            numerics_check(params, batch_stats, losses, epoch + k - 1)
             chunk_dt = time.time() - t0
             epoch_times.extend([chunk_dt / k] * k)
             if epoch == start_epoch:
@@ -535,6 +590,7 @@ def _train_ktgnn_impl(data, cfg):
             best=best,
             history=history,
             total_time=time.time() - t_start,
+            max_logit_spread=numerics_state["max_spread"],
             # steady-state mean: timer.warmup excludes the whole
             # compile-bearing first chunk (set above)
             mean_epoch_time=float(timer.steady.mean()),
@@ -551,6 +607,7 @@ def _train_ktgnn_impl(data, cfg):
                 params, batch_stats, opt_state, drop_rng
             )
             loss_t2 = float(aux["loss_t2"])
+            numerics_check(params, batch_stats, float(loss), epoch)
             scores, per_head = evaluate(params, batch_stats)
         history.append(
             dict(epoch=epoch, loss=float(loss), loss_t2=loss_t2, **scores)
@@ -596,6 +653,7 @@ def _train_ktgnn_impl(data, cfg):
         best=best,
         history=history,
         total_time=time.time() - t_start,
+        max_logit_spread=numerics_state["max_spread"],
         mean_epoch_time=float(np.mean(epoch_times[2:]))
         if len(epoch_times) > 2
         else float(np.mean(epoch_times)),

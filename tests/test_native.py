@@ -5,7 +5,7 @@ import pytest
 
 from bridged_gnn_tpu.graph import coalesce_np, sort_edges_by_dst
 from bridged_gnn_tpu.io import native
-from bridged_gnn_tpu.ops.pallas_segment import build_chunk_meta
+from bridged_gnn_tpu.ops.chunk_meta import build_chunk_meta
 
 
 def test_native_builds():

@@ -1,81 +1,37 @@
 """Pallas kernel logic validated on CPU via interpreter mode (compiled-mode
-performance is exercised by bench.py on real TPU hardware)."""
+performance is exercised by bench.py on real TPU hardware).
+
+The first-generation chunked segment-sum kernel (ops/pallas_segment.py)
+was retired in round 3 — superseded by the padded slot-layout kernels
+below; its host meta builder lives on as ops/chunk_meta.py, covered by
+test_native.py."""
 
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from jax.experimental import pallas as pl
 
-from bridged_gnn_tpu.ops import pallas_segment as ps
+from bridged_gnn_tpu.ops.chunk_meta import build_chunk_meta
 
 
-@pytest.fixture(autouse=True)
-def interpret_mode(monkeypatch):
-    orig = pl.pallas_call
-
-    def interp(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setattr(ps.pl, "pallas_call", interp)
-    yield
-
-
-def _run(msg, r, n, node_block=128, edge_chunk=1024):
-    meta = ps.build_chunk_meta(r, len(r), n, node_block, edge_chunk)
-    return np.asarray(ps.segment_sum_sorted_pallas(
-        jnp.asarray(msg), jnp.asarray(r),
-        jnp.asarray(meta.chunk_base), jnp.asarray(meta.num_chunks),
-        n, meta.node_block, meta.edge_chunk, meta.max_chunks,
-        meta.num_blocks,
-    ))
-
-
-def test_uniform(rng):
-    n, e, d = 512, 8192, 128
+def test_chunk_meta_ranges(rng):
+    """Chunk ranges cover exactly each block's dst-sorted edge range."""
+    n, e = 512, 8192
     r = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
-    msg = rng.normal(size=(e, d)).astype(np.float32)
-    expect = np.asarray(jax.ops.segment_sum(
-        jnp.asarray(msg), jnp.asarray(r), num_segments=n,
-        indices_are_sorted=True,
-    ))
-    np.testing.assert_allclose(_run(msg, r, n), expect, rtol=1e-4, atol=1e-4)
-
-
-def test_skewed_and_empty(rng):
-    n, e, d = 512, 8192, 128
-    r = np.sort(np.concatenate([
-        np.zeros(3000, np.int32),
-        rng.integers(100, 200, size=e - 3000).astype(np.int32),
-    ]))
-    msg = rng.normal(size=(e, d)).astype(np.float32)
-    expect = np.asarray(jax.ops.segment_sum(
-        jnp.asarray(msg), jnp.asarray(r), num_segments=n,
-        indices_are_sorted=True,
-    ))
-    np.testing.assert_allclose(_run(msg, r, n), expect, rtol=1e-4, atol=1e-4)
-
-
-def test_spmm_pallas_with_mask_and_weights(rng):
-    n, e, d = 256, 4096, 64
-    senders = rng.integers(0, n, size=e).astype(np.int32)
-    r = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
-    mask = rng.random(e) < 0.8
-    w = rng.normal(size=e).astype(np.float32)
-    x = rng.normal(size=(n, d)).astype(np.float32)
-    meta = ps.build_chunk_meta(r, e, n, 128, 1024)
-    got = np.asarray(ps.spmm_pallas(
-        jnp.asarray(x), jnp.asarray(senders), jnp.asarray(r),
-        jnp.asarray(mask), meta, n, edge_weights=jnp.asarray(w),
-    ))
-    expect = np.zeros((n, d), dtype=np.float64)
-    for i in range(e):
-        if mask[i]:
-            expect[r[i]] += w[i] * x[senders[i]]
-    np.testing.assert_allclose(got, expect, rtol=1e-3, atol=1e-3)
+    meta = build_chunk_meta(r, e, n, node_block=128, edge_chunk=1024)
+    assert meta.num_blocks == 4
+    for b in range(meta.num_blocks):
+        lo, hi = b * 128, (b + 1) * 128
+        edges = np.flatnonzero((r >= lo) & (r < hi))
+        if len(edges) == 0:
+            assert meta.num_chunks[b] == 0
+            continue
+        first_chunk = edges[0] // 1024
+        last_chunk = edges[-1] // 1024
+        assert meta.chunk_base[b] == first_chunk
+        assert meta.num_chunks[b] == last_chunk - first_chunk + 1
 
 
 # --- padded slot-layout kernels (ops/pallas_padded.py) ---
@@ -111,10 +67,13 @@ def test_reduce_impl_dispatch(rng, monkeypatch):
     from bridged_gnn_tpu.ops import blocked_segment as bs
     from bridged_gnn_tpu.ops import pallas_padded as pp
 
-    monkeypatch.setattr(
-        pp.pl, "pallas_call",
-        functools.partial(pl.pallas_call, interpret=True),
-    )
+    orig = pl.pallas_call
+
+    def force_interpret(*a, **k):
+        k["interpret"] = True  # overrides the callee's explicit False
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pp.pl, "pallas_call", force_interpret)
     n_pad, e = 128, 1024
     s = rng.integers(0, n_pad, size=e).astype(np.int32)
     r = np.sort(rng.integers(0, n_pad, size=e)).astype(np.int32)

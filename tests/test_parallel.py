@@ -81,18 +81,6 @@ def test_sharded_topk_matches_single(rng):
         )
 
 
-def test_rowpart_spmm_matches_dense(rng):
-    from bridged_gnn_tpu.parallel import build_row_partition, rowpart_spmm
-
-    d = make_graph_dict(rng, n=200, e=1500)
-    g = graph_from_dict(d)
-    mesh = make_mesh(8)
-    part = build_row_partition(g, 8)
-    out = np.asarray(rowpart_spmm(mesh, part, g.x))
-    ref = np.asarray(spmm(adjacency_from_graph(g, method="dense"), g.x))
-    np.testing.assert_allclose(out[:200], ref[:200], rtol=1e-4, atol=1e-4)
-
-
 def test_sharded_ktgnn_step_matches_single_device(rng):
     d = make_graph_dict(rng)
     g = with_self_loops(graph_from_dict(d))

@@ -1,5 +1,10 @@
 """Probe 2: clean gather/reduce timings to compose the fused SpMM.
 
+[Historical probe — step 4 imports ops/pallas_segment.py, retired in
+round 3 (superseded by ops/pallas_padded.py; meta builder extracted to
+ops/chunk_meta.py). Kept as the measurement record; no longer runnable
+end to end.]
+
 Measures on the 2M-edge bench shapes (N=131072, E=2097152, D=128 bf16):
   1. jit'd pure row gather x[idx] — idx random / block-sorted (512 dst
      blocks, src ascending inside) / fully sorted;
