@@ -233,6 +233,121 @@ def make_adapted_attention(
     return fused
 
 
+def _attention_partials(
+    lay,
+    gather: Callable,
+    u_cat: jax.Array,          # [N_src_space, 2D] rows the slots gather
+    u_dst_cat: jax.Array,      # [N_out, 2D] destination-side rows
+    central: jax.Array,        # [N_out] bool
+    logit_fn1: Callable,
+    logit_fn2: Callable,
+    negative_slope: float,
+):
+    """Streaming-softmax partials over ONE slot layout (a subset of the
+    edges into the same destination rows): per-destination local max
+    ``mx`` [B, nb], exp-sum ``den`` [B, nb], and the exp-weighted partial
+    aggregate ``part`` [N_out, D] — combinable with another subset's
+    partials by the flash-attention rescale in
+    :func:`adapted_attention_overlap`."""
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    valid = lay.slot_mask.reshape(B, Et)
+    dch = u_cat.shape[-1] // 2
+    m = gather(u_cat)                                    # [B, Et, 2D]
+    d = padded_dst_expand(lay, u_dst_cat)
+    m1, m2 = m[..., :dch], m[..., dch:]
+    h1 = jax.nn.leaky_relu(m1 + d[..., :dch], negative_slope)
+    h2 = jax.nn.leaky_relu(m2 + d[..., dch:], negative_slope)
+    l1 = logit_fn1(h1)[..., 0].astype(jnp.float32)       # [B, Et]
+    l2 = logit_fn2(h2)[..., 0].astype(jnp.float32)
+    n_full = B * nb
+    c_pad = jnp.pad(
+        central.astype(jnp.float32), (0, n_full - central.shape[0])
+    )
+    c_slot = padded_block_expand(lay, c_pad.reshape(B, nb, 1))[..., 0]
+    is_c = c_slot > 0.5
+    lm = jnp.where(valid, jnp.where(is_c, l1, l2), _NEG)
+
+    ohb = lay.rel_key[:, None, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, nb, 1), 1
+    )                                                    # [B, nb, Et]
+    mx = jnp.max(jnp.where(ohb, lm[:, None, :], _NEG), axis=2)  # [B, nb]
+    mx = jax.lax.stop_gradient(mx)
+    mx_slot = padded_block_expand(lay, mx[:, :, None])[..., 0]
+    ex = jnp.where(valid, jnp.exp(lm - mx_slot), 0.0)
+    den = jax.lax.dot_general(
+        ohb.astype(jnp.float32), ex[:, :, None],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[..., 0]                                            # [B, nb]
+    w1 = jnp.where(is_c, ex, 0.0).astype(u_cat.dtype)
+    w2 = jnp.where(is_c, 0.0, ex).astype(u_cat.dtype)
+    part = (
+        padded_slot_reduce(lay, m1, w1)
+        + padded_slot_reduce(lay, m2, w2)
+    )                                                    # [N_out, D] f32
+    return part, mx, den
+
+
+def adapted_attention_overlap(
+    ops_local,
+    ops_halo,
+    u_cat_local: jax.Array,    # [R, 2D] own-row branch values [u1 ‖ u2]
+    u_cat_halo: jax.Array,     # [H, 2D] halo-row branch values
+    u_dst_cat: jax.Array,      # [R, 2D] destination-side rows
+    central: jax.Array,        # [R] bool destination-domain flag
+    logit_fn1: Callable,
+    logit_fn2: Callable,
+    negative_slope: float = 0.1,
+) -> jax.Array:
+    """Comm/compute-overlap form of :func:`adapted_attention` for the halo
+    row partition (SURVEY §2c-1 "halo-overlap with local aggregation";
+    VERDICT r2 item 2).
+
+    The shard's edges are split into two slot layouts keyed by the same
+    destination rows: ``ops_local`` gathers senders from the shard's OWN
+    rows (``u_cat_local``), ``ops_halo`` from the (much smaller) halo
+    receive buffer (``u_cat_halo``). The entire local pipeline — the big
+    sender gather, GATv2 logits, per-destination max/exp-sum, and the
+    exp-weighted partial aggregate — has NO data dependence on the
+    boundary ``all_to_all``, so XLA's latency-hiding scheduler runs it
+    while the collective is in flight; only the halo partials and the
+    final per-destination rescale wait for it.
+
+    The two partials combine with the flash-attention streaming-softmax
+    rule (exact softmax values up to fp reordering):
+        mx  = max(mx_l, mx_h);  s_k = exp(mx_k − mx)
+        out = (part_l·s_l + part_h·s_h) / (den_l·s_l + den_h·s_h)
+
+    Autodiff backward is scatter-free (gathers carry custom VJPs; the
+    rest is matmuls/elementwise). Not bit-identical to the single-layout
+    path (different reduction grouping) — an opt-in production knob; the
+    default halo path stays the parity formulation.
+    """
+    lay_l = ops_local.lay_dst
+    p_l, mx_l, den_l = _attention_partials(
+        lay_l, ops_local.gather_slots, u_cat_local, u_dst_cat, central,
+        logit_fn1, logit_fn2, negative_slope,
+    )
+    p_h, mx_h, den_h = _attention_partials(
+        ops_halo.lay_dst, ops_halo.gather_slots, u_cat_halo, u_dst_cat,
+        central, logit_fn1, logit_fn2, negative_slope,
+    )
+    mx = jnp.maximum(mx_l, mx_h)                         # [B, nb]
+    s_l = jnp.exp(mx_l - mx)
+    s_h = jnp.exp(mx_h - mx)
+    den = den_l * s_l + den_h * s_h
+    den = jnp.where(den == 0, 1.0, den)
+    n_out = lay_l.num_nodes_padded
+
+    def rows(a):                                          # [B, nb] -> [R]
+        return a.reshape(-1)[:n_out]
+
+    out = (
+        p_l * rows(s_l)[:, None] + p_h * rows(s_h)[:, None]
+    ) / rows(den)[:, None]
+    return out.astype(u_cat_local.dtype)
+
+
 def block_logit_spread(
     ops: BlockedOps,
     u1: jax.Array,

@@ -74,10 +74,100 @@ class HaloPartition(NamedTuple):
     ps_tile: int                 # src layout tile_e
     ps_blocks: int               # src layout num_blocks (ext_len/node_block)
     ext_len: int                 # rows + n_dev*h_pair
+    # comm/compute-overlap split (built with overlap=True): per-shard
+    # edges split into local-sender and halo-sender slot layouts so the
+    # local attention pipeline has no data dependence on the boundary
+    # all_to_all (SURVEY §2c-1 halo-overlap; ops/fused_attention.
+    # adapted_attention_overlap). None when not built.
+    pl2: dict | None = None
+    t_ld: int = 0                # local-set dst tile_e
+    t_ls: int = 0                # local-set src tile_e
+    b_ls: int = 0                # local-set src num_blocks (rows space)
+    t_hd: int = 0                # halo-set dst tile_e
+    t_hs: int = 0                # halo-set src tile_e
+    b_hs: int = 0                # halo-set src num_blocks (halo space)
+    halo_len: int = 0            # n_dev * h_pair (halo buffer rows)
 
 
-def build_halo_partition(g: Graph, n_shards: int) -> HaloPartition:
-    """Build the row partition + per-pair halo plans (host, once/graph)."""
+def _split_slot_layouts(out_s, out_r, out_m, rows, halo_len, node_block,
+                        n_shards):
+    """Per-shard local-sender vs halo-sender slot layouts with uniform
+    static dims across shards, for the overlap attention path.
+
+    ``out_s`` holds x_ext-local sender ids (< rows ⇒ own row, else halo
+    slot ``id − rows``); ``out_r`` is dst-sorted per shard, so each
+    subset selection stays dst-sorted. Only valid edges enter the
+    layouts (padding slots are re-added per block by the layout builder).
+    """
+    from bridged_gnn_tpu.ops.blocked_segment import _padded_layout_np
+
+    def one_pass(mins):
+        t = {k: 0 for k in ("ld", "ls", "hd", "hs")}
+        per_shard = []
+        for q in range(n_shards):
+            m_q = out_m[q]
+            is_local = out_s[q] < rows
+            entry = {}
+            for key, sel, src, src_space in (
+                ("l", m_q & is_local, out_s[q], rows),
+                ("h", m_q & ~is_local, out_s[q] - rows, halo_len),
+            ):
+                idx = np.nonzero(sel)[0]
+                r_sub = out_r[q][idx]
+                s_sub = src[idx].astype(np.int32)
+                eid = np.arange(len(idx))
+                valid = np.ones(len(idx), bool)
+                d = _padded_layout_np(
+                    r_sub, s_sub, eid, valid, rows, node_block,
+                    min_tile_e=mins[key + "d"],
+                )
+                perm = np.argsort(s_sub, kind="stable")
+                sr = _padded_layout_np(
+                    s_sub[perm], r_sub[perm], eid[perm], valid[perm],
+                    src_space, node_block, min_tile_e=mins[key + "s"],
+                )
+                pos_dst = np.zeros(max(len(idx), 1), dtype=np.int32)
+                d_edge = d[2].reshape(-1)
+                d_mask = d[3].reshape(-1)
+                pos_dst[d_edge[d_mask]] = np.nonzero(d_mask)[0].astype(
+                    np.int32
+                )
+                entry[key] = (d, sr, pos_dst[sr[2].reshape(-1)])
+                t[key + "d"] = max(t[key + "d"], d[4])
+                t[key + "s"] = max(t[key + "s"], sr[4])
+            per_shard.append(entry)
+        return per_shard, t
+
+    zero = {"ld": 0, "ls": 0, "hd": 0, "hs": 0}
+    _, tiles = one_pass(zero)
+    per_shard, tiles = one_pass(tiles)
+
+    def stack(key, part, comp):
+        return np.stack(
+            [e[key][part][comp].reshape(-1) for e in per_shard]
+        ).reshape(-1)
+
+    pl2 = {}
+    for key, dst_name, src_name in (("l", "ld", "ls"), ("h", "hd", "hs")):
+        for comp, name in ((0, "other"), (1, "rel"), (2, "edge"),
+                           (3, "mask")):
+            pl2[f"{dst_name}_{name}"] = stack(key, 0, comp)
+            pl2[f"{src_name}_{name}"] = stack(key, 1, comp)
+        pl2[f"{src_name}_from_dst"] = np.stack(
+            [e[key][2] for e in per_shard]
+        ).reshape(-1)
+    b_ls = per_shard[0]["l"][1][5]
+    b_hs = per_shard[0]["h"][1][5]
+    return pl2, tiles, b_ls, b_hs
+
+
+def build_halo_partition(
+    g: Graph, n_shards: int, overlap: bool = False
+) -> HaloPartition:
+    """Build the row partition + per-pair halo plans (host, once/graph).
+
+    ``overlap=True`` additionally builds the local/halo split slot
+    layouts consumed by the comm/compute-overlap attention path."""
     n_pad = g.num_nodes_padded
     rows = round_up(-(-n_pad // n_shards), 8)
     n_total = rows * n_shards
@@ -204,7 +294,18 @@ def build_halo_partition(g: Graph, n_shards: int) -> HaloPartition:
     pd_blocks = d_raw[0][5]
     ps_blocks = s_raw[0][5]
 
+    ov = dict(pl2=None, t_ld=0, t_ls=0, b_ls=0, t_hd=0, t_hs=0, b_hs=0,
+              halo_len=n_shards * h_pair)
+    if overlap:
+        pl2, tiles, b_ls, b_hs = _split_slot_layouts(
+            out_s, out_r, out_m, rows, n_shards * h_pair, node_block,
+            n_shards,
+        )
+        ov.update(pl2=pl2, t_ld=tiles["ld"], t_ls=tiles["ls"], b_ls=b_ls,
+                  t_hd=tiles["hd"], t_hs=tiles["hs"], b_hs=b_hs)
+
     return HaloPartition(
+        **ov,
         senders_local=out_s.reshape(-1),
         receivers_local=out_r.reshape(-1),
         edge_mask=out_m.reshape(-1),
@@ -274,6 +375,16 @@ class HaloView(NamedTuple):
     ps_tile: int = 0
     ps_blocks: int = 0
     ext_len: int = 0
+    # overlap split layouts (device slices of HaloPartition.pl2), None
+    # when the partition was built without overlap=True
+    pl2: dict = None
+    t_ld: int = 0
+    t_ls: int = 0
+    b_ls: int = 0
+    t_hd: int = 0
+    t_hs: int = 0
+    b_hs: int = 0
+    halo_len: int = 0
 
     def fused_ops(self):
         """Local BlockedOps-alike (gather_slots + lay_dst) over this
@@ -309,6 +420,55 @@ class HaloView(NamedTuple):
         _LocalOps.lay_dst = lay_dst
         return _LocalOps
 
+    def fused_ops_split(self):
+        """(ops_local, ops_halo) over the split slot layouts for the
+        comm/compute-overlap attention path
+        (ops/fused_attention.py::adapted_attention_overlap): ops_local
+        gathers senders from this shard's OWN rows ([rows] space, no
+        dependence on the boundary all_to_all), ops_halo from the halo
+        receive buffer ([halo_len] space). Both keep destinations in the
+        owned-row space so their streaming-softmax partials combine
+        per destination."""
+        from bridged_gnn_tpu.ops.blocked_segment import (
+            PaddedLayout,
+            make_slot_gather,
+        )
+
+        nb = self.block_node_block
+        b_d = self.pd_blocks  # dst blocks = rows/nb for both subsets
+
+        def mk(p_d, t_d, p_s, t_s, b_s, src_space):
+            lay_dst = PaddedLayout(
+                other_slot=self.pl2[f"{p_d}_other"],
+                rel_key=self.pl2[f"{p_d}_rel"].reshape(b_d, t_d),
+                slot_edge=self.pl2[f"{p_d}_edge"],
+                slot_mask=self.pl2[f"{p_d}_mask"].astype(bool),
+                node_block=nb, tile_e=t_d, num_blocks=b_d,
+                num_nodes_padded=self.rows,
+            )
+            lay_src = PaddedLayout(
+                other_slot=self.pl2[f"{p_s}_other"],
+                rel_key=self.pl2[f"{p_s}_rel"].reshape(b_s, t_s),
+                slot_edge=self.pl2[f"{p_s}_edge"],
+                slot_mask=self.pl2[f"{p_s}_mask"].astype(bool),
+                node_block=nb, tile_e=t_s, num_blocks=b_s,
+                num_nodes_padded=src_space,
+            )
+            gather = make_slot_gather(
+                lay_dst, lay_src, self.pl2[f"{p_s}_from_dst"]
+            )
+
+            class _Ops:
+                gather_slots = staticmethod(gather)
+
+            _Ops.lay_dst = lay_dst
+            return _Ops
+
+        ops_l = mk("ld", self.t_ld, "ls", self.t_ls, self.b_ls, self.rows)
+        ops_h = mk("hd", self.t_hd, "hs", self.t_hs, self.b_hs,
+                   self.halo_len)
+        return ops_l, ops_h
+
     def segment_sum_local(self, msg: jax.Array) -> jax.Array:
         """[E_loc, D] → [rows, D] dst reduce, scatter-free (blocked)."""
         from bridged_gnn_tpu.ops.blocked_segment import segment_sum_blocked
@@ -332,18 +492,27 @@ class HaloView(NamedTuple):
             self.block_max_edges, self.block_num_blocks,
         )
 
-    def exchange(self, x_local: jax.Array) -> jax.Array:
-        """x_ext = [own rows ‖ halo rows]: gather the rows each peer needs,
-        one tiled all_to_all, concatenate. Linear → autodiff transposes it
-        to the reverse scatter-add exchange for gradients."""
+    def exchange_recv(self, x_local: jax.Array) -> jax.Array:
+        """The halo receive buffer alone [H, D]: gather the rows each peer
+        needs, one tiled all_to_all. Used by the overlap path so the
+        local attention pipeline has no data dependence on the collective
+        (wire bytes identical to :meth:`exchange` — the split changes the
+        schedule, not the traffic). Linear → autodiff transposes it to
+        the reverse scatter-add exchange for gradients."""
         send = jnp.where(
             self.send_mask[:, None], x_local[self.send_idx], 0
         )
-        recv = jax.lax.all_to_all(
+        return jax.lax.all_to_all(
             send.reshape(self.num_shards * self.h_pair, -1),
             self.axis, split_axis=0, concat_axis=0, tiled=True,
         )
-        return jnp.concatenate([x_local, recv], axis=0)
+
+    def exchange(self, x_local: jax.Array) -> jax.Array:
+        """x_ext = [own rows ‖ halo rows]: one tiled all_to_all +
+        concatenate (see :meth:`exchange_recv`)."""
+        return jnp.concatenate(
+            [x_local, self.exchange_recv(x_local)], axis=0
+        )
 
 
 def _shard_node(a: np.ndarray, part: HaloPartition, fill=0):
@@ -362,6 +531,7 @@ def make_halo_ktgnn_train_step(
     g: Graph,
     cfg,
     axis: str | None = None,
+    overlap: bool = False,
 ) -> tuple[Callable, HaloPartition]:
     """Jitted KT-GNN train step on the halo row partition.
 
@@ -371,13 +541,20 @@ def make_halo_ktgnn_train_step(
     ``(train_step, partition)`` where
     ``train_step(params, batch_stats, opt_state, rng) → (params, bs,
     opt_state, loss)``.
+
+    ``overlap=True`` builds the split local/halo slot layouts and the
+    model's conv layers run the comm/compute-overlap attention path
+    (ops/fused_attention.py::adapted_attention_overlap): per layer, the
+    local-sender pipeline is scheduled while the boundary all_to_all is
+    in flight. Numerically equal up to fp reduction order (not
+    bit-identical) to the default path.
     """
     from bridged_gnn_tpu.train.stage2 import kl_batchmean, masked_nll
 
     if axis is None:
         axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    part = build_halo_partition(g, n_dev)
+    part = build_halo_partition(g, n_dev, overlap=overlap)
     tx = torch_adam(cfg.lr, weight_decay=cfg.weight_decay)
 
     x_sh = _shard_node(np.asarray(g.x), part)
@@ -388,7 +565,7 @@ def make_halo_ktgnn_train_step(
     tt_sh = tm_sh & ~cm_sh
 
     def device_loss(params, batch_stats, dropout_rng,
-                    sl, rl, em, sidx, smask, ce, nme, bstart, pl,
+                    sl, rl, em, sidx, smask, ce, nme, bstart, pl, pl2,
                     x, y, nm, cm, tm, tt):
         halo = HaloView(
             senders_local=sl, receivers_local=rl, edge_mask=em,
@@ -402,6 +579,10 @@ def make_halo_ktgnn_train_step(
             pl=pl, pd_tile=part.pd_tile, pd_blocks=part.pd_blocks,
             ps_tile=part.ps_tile, ps_blocks=part.ps_blocks,
             ext_len=part.ext_len,
+            pl2=pl2 if pl2 else None,
+            t_ld=part.t_ld, t_ls=part.t_ls, b_ls=part.b_ls,
+            t_hd=part.t_hd, t_hs=part.t_hs, b_hs=part.b_hs,
+            halo_len=part.halo_len,
         )
         gl = g.replace(
             x=x, y=y, node_mask=nm, central_mask=cm, train_mask=tm,
@@ -424,12 +605,12 @@ def make_halo_ktgnn_train_step(
         return loss, mutated["batch_stats"]
 
     def step(params, batch_stats, opt_state, dropout_rng,
-             sl, rl, em, sidx, smask, ce, nme, bstart, pl,
+             sl, rl, em, sidx, smask, ce, nme, bstart, pl, pl2,
              x, y, nm, cm, tm, tt):
         (loss, new_bs), grads = jax.value_and_grad(
             device_loss, has_aux=True
         )(params, batch_stats, dropout_rng, sl, rl, em, sidx, smask,
-          ce, nme, bstart, pl, x, y, nm, cm, tm, tt)
+          ce, nme, bstart, pl, pl2, x, y, nm, cm, tm, tt)
         # loss/stats are already psum'd inside device_loss, so grads of the
         # replicated params come out identical across shards — but each
         # shard only saw its own rows' contributions via the local segment
@@ -444,7 +625,7 @@ def make_halo_ktgnn_train_step(
         step, mesh=mesh,
         in_specs=(rep, rep, rep, rep,
                   rowp, rowp, rowp, rowp, rowp, rowp, rowp, rowp, rowp,
-                  rowp, rowp, rowp, rowp, rowp, rowp),
+                  rowp, rowp, rowp, rowp, rowp, rowp, rowp),
         out_specs=(rep, rep, rep, rep),
         # check_vma stays ON (as in edgeshard): replicated-param gradients
         # need shard_map's automatic psum-of-cotangents transpose
@@ -459,6 +640,8 @@ def make_halo_ktgnn_train_step(
     nme = jnp.asarray(part.node_mask_ext)
     bstart = jnp.asarray(part.block_start)
     pl_j = {k: jnp.asarray(v) for k, v in part.pl.items()}
+    pl2_j = ({k: jnp.asarray(v) for k, v in part.pl2.items()}
+             if part.pl2 is not None else {})
     arrays = tuple(jnp.asarray(a) for a in
                    (x_sh, y_sh, nm_sh, cm_sh, tm_sh, tt_sh))
 
@@ -466,7 +649,8 @@ def make_halo_ktgnn_train_step(
     def train_step(params, batch_stats, opt_state, dropout_rng):
         return sharded(
             params, batch_stats, opt_state, dropout_rng,
-            sl, rl, em, sidx, smask, ce, nme, bstart, pl_j, *arrays,
+            sl, rl, em, sidx, smask, ce, nme, bstart, pl_j, pl2_j,
+            *arrays,
         )
 
     return train_step, part

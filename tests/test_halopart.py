@@ -188,6 +188,133 @@ def test_halo_step_trains(rng):
     assert losses[-1] < losses[0]
 
 
+def test_overlap_split_accounts_every_edge(rng):
+    """The local/halo split layouts together hold exactly the partition's
+    real edges, and the local set only references own rows."""
+    g = with_self_loops(graph_from_dict(make_graph_dict(rng)))
+    part = build_halo_partition(g, 8, overlap=True)
+    n_dev = part.num_shards
+    pd_b = part.pd_blocks
+    ld_mask = part.pl2["ld_mask"].reshape(n_dev, -1)
+    hd_mask = part.pl2["hd_mask"].reshape(n_dev, -1)
+    em = part.edge_mask.reshape(n_dev, -1)
+    sl = part.senders_local.reshape(n_dev, -1)
+    for q in range(n_dev):
+        n_local = int((em[q] & (sl[q] < part.rows)).sum())
+        n_halo = int((em[q] & (sl[q] >= part.rows)).sum())
+        assert int(ld_mask[q].sum()) == n_local
+        assert int(hd_mask[q].sum()) == n_halo
+    # local src layout gathers own rows only; halo src from halo space
+    ls_other = part.pl2["ls_other"].reshape(n_dev, -1)
+    ls_m = part.pl2["ls_mask"].reshape(n_dev, -1).astype(bool)
+    hs_other = part.pl2["hs_other"].reshape(n_dev, -1)
+    hs_m = part.pl2["hs_mask"].reshape(n_dev, -1).astype(bool)
+    for q in range(n_dev):
+        # src layouts key on senders; other_slot holds receivers (< rows)
+        assert (ls_other[q][ls_m[q]] < part.rows).all()
+        assert (hs_other[q][hs_m[q]] < part.rows).all()
+    # uniform static dims
+    assert part.pl2["ld_rel"].size == n_dev * pd_b * part.t_ld
+    assert part.pl2["hd_rel"].size == n_dev * pd_b * part.t_hd
+
+
+def test_halo_overlap_step_matches_single_device(rng):
+    """VERDICT r2 item 2: the comm/compute-overlap halo step (split
+    local/halo slot layouts + streaming-softmax combine) must match the
+    single-device step up to fp reduction order — same loss, same param
+    updates within fp32 tolerance — while the collective only feeds the
+    (small) halo partials."""
+    d = make_graph_dict(rng)
+    g = with_self_loops(graph_from_dict(d))
+    cfg = Stage2Config(hidden=16, use_scheduler=False, dropout=0.0)
+    mesh = make_mesh(8)
+
+    model = KTGNN(num_classes=4, layer_num=2, hidden=16, dropout=0.0)
+    adj = adjacency_from_graph(g, method="gather")
+    variables = model.init(jax.random.PRNGKey(0), g, adj, False)
+    params, bs = variables["params"], variables["batch_stats"]
+
+    train_step, part = make_halo_ktgnn_train_step(
+        mesh, model, g, cfg, overlap=True
+    )
+    assert part.pl2 is not None
+    from bridged_gnn_tpu.train.optim import torch_adam
+
+    tx = torch_adam(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+    rng_drop = jax.random.PRNGKey(42)
+    p_sh, bs_sh, opt_sh, loss_sh = train_step(params, bs, opt_state,
+                                              rng_drop)
+
+    from bridged_gnn_tpu.train.stage2 import kl_batchmean, masked_nll
+
+    tar_train = g.train_mask & (~g.central_mask)
+
+    def loss_fn(p, bstats):
+        outs, mutated = model.apply(
+            {"params": p, "batch_stats": bstats}, g, adj, True,
+            rngs={"dropout": rng_drop}, mutable=["batch_stats"],
+        )
+        lp_s, lp_t, lp_that, _ = outs
+        loss = (
+            2.0 * masked_nll(lp_s, g.y, g.train_mask)
+            + masked_nll(lp_t, g.y, tar_train)
+            + masked_nll(lp_that, g.y, tar_train)
+        ) / 4.0 + kl_batchmean(lp_that, lp_t, g.node_mask)
+        return loss, mutated["batch_stats"]
+
+    (loss_1, bs_1), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params, bs)
+    np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=2e-4)
+
+    import optax
+
+    updates, _ = tx.update(grads, tx.init(params), params)
+    p_1 = optax.apply_updates(params, updates)
+    for a, b, gr in zip(
+        jax.tree_util.tree_leaves(p_sh),
+        jax.tree_util.tree_leaves(p_1),
+        jax.tree_util.tree_leaves(grads),
+    ):
+        significant = np.abs(np.asarray(gr)) > 1e-5
+        np.testing.assert_allclose(
+            np.asarray(a)[significant], np.asarray(b)[significant],
+            rtol=5e-3, atol=5e-5,
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(bs_sh), jax.tree_util.tree_leaves(bs_1)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_halo_overlap_trains(rng):
+    """Overlap steps reduce the loss (end-to-end sanity, clustered cut)."""
+    d = make_graph_dict(rng, clustered=True)
+    g = with_self_loops(graph_from_dict(d))
+    cfg = Stage2Config(hidden=16, use_scheduler=False, dropout=0.0)
+    mesh = make_mesh(8)
+    model = KTGNN(num_classes=4, layer_num=2, hidden=16, dropout=0.0)
+    adj = adjacency_from_graph(g, method="gather")
+    variables = model.init(jax.random.PRNGKey(0), g, adj, False)
+    params, bs = variables["params"], variables["batch_stats"]
+    train_step, _ = make_halo_ktgnn_train_step(mesh, model, g, cfg,
+                                               overlap=True)
+    from bridged_gnn_tpu.train.optim import torch_adam
+
+    tx = torch_adam(cfg.lr, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(8):
+        key, k = jax.random.split(key)
+        params, bs, opt_state, loss = train_step(params, bs, opt_state, k)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
 def test_halo_step_recompute_bwd_matches_single_device(rng):
     """STATUS r2 gap 4: the hand-derived fused-attention backward
     (make_adapted_attention) now runs under shard_map — the replicated
