@@ -36,8 +36,11 @@ def init_distributed(
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or,
     on TPU pods, to automatic cluster detection.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # Idempotency must NOT be probed with jax.process_count(): that call
+    # initializes the local backend first, after which distributed init
+    # can never form the group (caught by tests/test_multihost.py).
+    if jax.distributed.is_initialized():
+        return
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:
@@ -50,8 +53,13 @@ def init_distributed(
                 process_id or os.environ.get("JAX_PROCESS_ID", "0")
             ),
         )
-    try:
         jax.distributed.initialize(**kwargs)
+        return
+    # no explicit coordinator: rely on automatic cluster detection (TPU
+    # pods); off-cluster this raises, which means single-process — the
+    # only case the fallback may swallow
+    try:
+        jax.distributed.initialize()
     except (RuntimeError, ValueError):
         pass  # single-process run
 
