@@ -76,18 +76,43 @@ def fits_vmem(
     return est <= budget
 
 
+# Measured backward-kernel envelope (tools/probe_bwd_vmem.json +
+# probe_bwd_vmem2.json, on-chip, VERDICT r2 item 3): last tile_e that
+# compiles AND matches XLA grads, keyed (node_block, is_bf16, dch). The
+# next ladder rung up fails with the remote-compile-helper MosaicError
+# in every probed case.
+_BWD_MAX_ET = {
+    (128, True, 64): 4352, (128, True, 128): 3584, (128, True, 256): 2176,
+    (128, False, 64): 4352, (128, False, 128): 4352,
+    (128, False, 256): 2176,
+    (256, True, 128): 2560, (256, False, 128): 3072,
+}
+
+
+def _bwd_et_limit(node_block: int, dch: int, itemsize: int) -> int:
+    """Max admissible tile_e for the backward kernel.
+
+    Probed combos come straight from the measured table. Unprobed combos
+    use the envelope fitted to the f32 failure boundaries —
+    ``et · (0.25·nb + 0.75·d)/128 ≤ B`` with B=4352 (f32) / 3584 (bf16,
+    measured one rung tighter at d≤128) — derated 15% because an
+    over-admit aborts training with a remote-compile crash while an
+    under-admit only falls back to the (1.2× slower) XLA backward."""
+    key = (node_block, itemsize == 2, dch)
+    if key in _BWD_MAX_ET:
+        return _BWD_MAX_ET[key]
+    budget = 3584.0 if itemsize == 2 else 4352.0
+    denom = 0.25 * node_block / 128 + 0.75 * dch / 128
+    return int(0.85 * budget / max(denom, 1e-9))
+
+
 def fits_vmem_bwd(
     tile_e: int, node_block: int, dch: int, itemsize: int = 4,
 ) -> bool:
-    """Backward-kernel gate. The backward working set is strictly larger
-    (dm/dud/dout blocks + doubled dz temps); no measured failure point
-    exists yet, so gate conservatively at 75% of the forward budget (the
-    proven fwd+bwd config sits at 72%). Near-envelope layouts run the
+    """Backward-kernel gate from the MEASURED envelope (replaces round
+    2's 75%-of-forward-budget guess). Near/over-envelope layouts run the
     Mosaic forward with the XLA backward."""
-    return fits_vmem(
-        tile_e, node_block, dch, itemsize=itemsize,
-        budget=int(0.75 * _VMEM_BUDGET),
-    )
+    return tile_e <= _bwd_et_limit(node_block, dch, itemsize)
 
 
 def default_interpret() -> bool:

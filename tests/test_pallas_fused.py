@@ -333,3 +333,39 @@ def test_fits_vmem_measured_envelope():
     # proven bad
     assert not fits_vmem(6912, 256, 16, itemsize=4)
     assert not fits_vmem(4352, 256, 128, itemsize=2)
+
+
+def test_fits_vmem_bwd_measured_envelope():
+    """Pin the backward gate to the on-chip probe (tools/
+    probe_bwd_vmem*.json, VERDICT r2 item 3): every probed (nb, dtype, d)
+    combo admits its last-good tile_e and rejects the next ladder rung
+    (which crashed the remote compile helper); unprobed combos fall back
+    to the fitted envelope, which must interpolate monotonically."""
+    from bridged_gnn_tpu.ops.pallas_fused import (
+        _BWD_MAX_ET,
+        _bwd_et_limit,
+        fits_vmem_bwd,
+    )
+
+    ladder = [512, 1024, 1536, 2176, 2560, 3072, 3584, 4352, 5120]
+    for (nb, is_bf16, d), lim in _BWD_MAX_ET.items():
+        item = 2 if is_bf16 else 4
+        assert fits_vmem_bwd(lim, nb, d, itemsize=item)
+        nxt = next(e for e in ladder if e > lim)
+        assert not fits_vmem_bwd(nxt, nb, d, itemsize=item)
+
+    # the proven production configs stay admitted
+    assert fits_vmem_bwd(2176, 128, 128, itemsize=2)  # bench config
+    assert fits_vmem_bwd(2176, 128, 64, itemsize=4)   # scale bench
+
+    # fitted fallback: monotone non-increasing in d and nb, and bounded
+    # by the bracketing probed limits at an unprobed d
+    for item in (2, 4):
+        lims = [_bwd_et_limit(128, d, item) for d in (64, 128, 192, 256)]
+        assert all(a >= b for a, b in zip(lims, lims[1:]))
+        assert _bwd_et_limit(256, 192, item) <= _bwd_et_limit(
+            128, 192, item
+        )
+        key128 = _BWD_MAX_ET[(128, item == 2, 128)]
+        key256 = _BWD_MAX_ET[(128, item == 2, 256)]
+        assert key256 <= _bwd_et_limit(128, 192, item) <= key128

@@ -350,3 +350,85 @@ def test_stage1_device_sampling_on_chip():
     res = train_adversarial(src_d, tar_d, cfg)
     assert res["best"]["epoch"] > 0
     assert all(0.0 <= v <= 1.0 for v in res["best"]["val"])
+
+
+@pytest.mark.parametrize("d,msg_dtype", [(256, jnp.bfloat16),
+                                         (128, jnp.float32)])
+def test_fused_attention_kernel_wide_shapes_on_chip(rng, d, msg_dtype):
+    """Widened kernel coverage (VERDICT r2 item 3): compiled fwd+bwd
+    Mosaic kernels at D=256 (bf16) and f32 message dtype, at tile sizes
+    inside the MEASURED backward envelope (tools/probe_bwd_vmem*.json).
+    Inputs are scaled so per-block logit spreads stay inside the
+    block-max-shift envelope (pallas_fused.SOFTMAX_SPREAD_LIMIT), as
+    trained models do."""
+    from bridged_gnn_tpu.ops.blocked_segment import make_blocked_ops
+    from bridged_gnn_tpu.ops.fused_attention import (
+        adapted_attention,
+        make_adapted_attention,
+    )
+    from bridged_gnn_tpu.ops.pallas_fused import fits_vmem_bwd
+
+    n, e = 4096, 32768
+    s = rng.integers(0, n, size=e).astype(np.int32)
+    r = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+    em = np.ones(e, bool)
+    ops = make_blocked_ops(s, r, em, n, node_block=128)
+    item = 2 if msg_dtype == jnp.bfloat16 else 4
+    assert fits_vmem_bwd(ops.lay_dst.tile_e, 128, d, itemsize=item), (
+        f"layout Et={ops.lay_dst.tile_e} outside measured bwd envelope"
+    )
+    sc = 0.25 / np.sqrt(d / 64.0)
+    u1 = jnp.asarray(sc * rng.normal(size=(n, d)).astype(np.float32),
+                     msg_dtype)
+    u2 = jnp.asarray(sc * rng.normal(size=(n, d)).astype(np.float32),
+                     msg_dtype)
+    a1 = jnp.asarray(sc * rng.normal(size=(d,)).astype(np.float32))
+    a2 = jnp.asarray(sc * rng.normal(size=(d,)).astype(np.float32))
+    central = np.arange(n) < n // 2
+    cf = jnp.asarray(central.astype(np.float32))
+
+    kfn = make_adapted_attention(ops, 0.1, kernel_fwd=True,
+                                 kernel_bwd=True)
+    got = np.asarray(kfn(u1, u2, u1, u2, cf, a1, a2), np.float32)
+    want = np.asarray(
+        adapted_attention(
+            ops, u1, u2, jnp.asarray(central),
+            lambda h: (h @ a1.astype(h.dtype))[..., None],
+            lambda h: (h @ a2.astype(h.dtype))[..., None],
+            negative_slope=0.1,
+        ),
+        np.float32,
+    )
+    scale = max(np.abs(want).max(), 1e-6)
+    # f32 messages still run DEFAULT-precision (bf16-pass) dots in-VMEM
+    # (HIGHEST lowering crashes Mosaic here — module docstring), so f32
+    # parity is bf16-rounding-bounded too, just tighter than bf16 inputs
+    tol_f = 0.08 if item == 2 else 0.01
+    assert np.abs(got - want).max() / scale < tol_f
+
+    cot = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    def loss_k(u1, u2):
+        return jnp.sum(
+            kfn(u1, u2, u1, u2, cf, a1, a2).astype(jnp.float32) * cot
+        )
+
+    def loss_x(u1, u2):
+        return jnp.sum(
+            adapted_attention(
+                ops, u1, u2, jnp.asarray(central),
+                lambda h: (h @ a1.astype(h.dtype))[..., None],
+                lambda h: (h @ a2.astype(h.dtype))[..., None],
+                negative_slope=0.1,
+            ).astype(jnp.float32) * cot
+        )
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(u1, u2)
+    gx = jax.grad(loss_x, argnums=(0, 1))(u1, u2)
+    tol_b = 0.35 if item == 2 else 0.1
+    for a, b in zip(gk, gx):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.isfinite(a).all()
+        sc2 = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / sc2 < tol_b
