@@ -105,9 +105,17 @@ def _topk_grid(
     row_block: int,
     mesh=None,
     approx_recall=None,
+    rerank_candidates=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Row-wise top-k of the pair-similarity matrix: (values [R,k],
-    column indices [R,k])."""
+    column indices [R,k]).
+
+    ``rerank_candidates`` (mlp mode only): screen columns with the
+    MXU-speed cosine of the raw stage-1 embeddings, then evaluate the
+    exact pair-MLP head only at the top ``rerank_candidates`` columns per
+    row (ops/sddmm.py::blockwise_rerank_topk). Ranking exactness becomes
+    proxy recall — measured on the shipped office checkpoints in
+    tools/probe_mlp_rerank.json."""
     n_rows, n_cols = z_rows.shape[0], z_cols.shape[0]
     rows_padded = ((n_rows + row_block - 1) // row_block) * row_block
     # all pre-math stays on device: embeddings arrive as device arrays
@@ -122,7 +130,38 @@ def _topk_grid(
         a_pad = jnp.zeros(
             (rows_padded, a_rows.shape[1]), jnp.float32
         ).at[:n_rows].set(a_rows)
-        if mesh is not None:
+        if rerank_candidates is not None:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "mlp rerank is a single-device path; unset one of "
+                    "mesh / rerank_candidates"
+                )
+            from bridged_gnn_tpu.ops.sddmm import (
+                blockwise_rerank_topk,
+                mlp_score_candidates,
+            )
+
+            # bf16 proxy: the screen only has to put the true top-k
+            # inside the candidate set, so bf16 rounding at the candidate
+            # boundary is immaterial (recall measured with this exact
+            # path in tools/probe_mlp_rerank.json)
+            z_pad = jnp.zeros(
+                (rows_padded, z_rows.shape[1]), jnp.float32
+            ).at[:n_rows].set(z_rows.astype(jnp.float32))
+            proxy = cosine_score_block(
+                z_pad.astype(jnp.bfloat16), z_cols.astype(jnp.bfloat16)
+            )
+            exact = mlp_score_candidates(
+                jnp.asarray(a_pad), jnp.asarray(b_cols),
+                jnp.asarray(d["bias"]), jnp.asarray(d["w2"]),
+                jnp.asarray(np.float32(d["b2"])),
+            )
+            vals, idxs = blockwise_rerank_topk(
+                proxy, exact, n_rows, n_cols, k,
+                candidates=int(rerank_candidates), row_block=row_block,
+                approx_recall=approx_recall,
+            )
+        elif mesh is not None:
             from bridged_gnn_tpu.parallel import sharded_pair_topk
 
             vals, idxs = sharded_pair_topk(
@@ -255,7 +294,7 @@ def propose_cross_edges(
     model, variables, g_src, adj_src, g_tar, adj_tar,
     k: int, row_block: int = 512, sim_mode: str = "mlp",
     epsilon: float = 0.5,  # accepted and unused — reference parity (:33)
-    mesh=None, approx_recall=None,
+    mesh=None, approx_recall=None, rerank_candidates=None,
 ):
     """Top-k source neighbors for every target node.
 
@@ -268,7 +307,7 @@ def propose_cross_edges(
     z_src, z_tar = _encode(model, variables, g_src, adj_src, g_tar, adj_tar)
     vals, idxs = _topk_grid(
         variables, z_tar, z_src, k, sim_mode, row_block, mesh,
-        approx_recall=approx_recall,
+        approx_recall=approx_recall, rerank_candidates=rerank_candidates,
     )
     n_tar = g_tar.num_nodes
     tar_idx = np.repeat(np.arange(n_tar), k)
@@ -286,7 +325,7 @@ def propose_cross_edges(
 def propose_within_edges(
     model, variables, g, adj, domain: str, k: int,
     row_block: int = 512, sim_mode: str = "mlp", mesh=None,
-    approx_recall=None,
+    approx_recall=None, rerank_candidates=None,
 ):
     """Top-k within-domain neighbors for every node (self-pairs retained,
     like the reference — main_bridged_graph.py:97). Returns flat sim-aligned
@@ -294,7 +333,8 @@ def propose_within_edges(
     z = _jit_encode_within(model, domain)(variables, g.x, adj, g.node_mask)
     z = z[: g.num_nodes].astype(jnp.float32)
     vals, idxs = _topk_grid(variables, z, z, k, sim_mode, row_block, mesh,
-                            approx_recall=approx_recall)
+                            approx_recall=approx_recall,
+                            rerank_candidates=rerank_candidates)
     n = g.num_nodes
     to_idx = np.repeat(np.arange(n), k)
     from_idx = idxs.reshape(-1)
@@ -407,6 +447,7 @@ def gen_bridged_graph(
     thres_conf_quantile: float = 0.1, thres_feat_sim: float = 0.0,
     sim_mode: str = "mlp", epsilon: float = 0.5, row_block: int = 512,
     mesh=None, verbose: bool = False, approx_recall=None,
+    rerank_candidates=None,
 ) -> Dict[str, np.ndarray]:
     """End-to-end bridge construction (reference
     main_bridged_graph.py:267-321). Returns the merged + reordered graph
@@ -414,7 +455,7 @@ def gen_bridged_graph(
     ei_cross, sims, p_src, p_tar, homo = propose_cross_edges(
         model, variables, g_src, adj_src, g_tar, adj_tar, k_cross,
         row_block=row_block, sim_mode=sim_mode, epsilon=epsilon, mesh=mesh,
-        approx_recall=approx_recall,
+        approx_recall=approx_recall, rerank_candidates=rerank_candidates,
     )
     if verbose:
         print(f"cross proposals: {ei_cross.shape[1]} (homophily {homo:.4f})")
@@ -436,11 +477,13 @@ def gen_bridged_graph(
             model, variables, g_src, adj_src, "source", k_within,
             row_block=row_block, sim_mode=sim_mode, mesh=mesh,
             approx_recall=approx_recall,
+            rerank_candidates=rerank_candidates,
         )
         ei_within_tar, sims_t = propose_within_edges(
             model, variables, g_tar, adj_tar, "target", k_within,
             row_block=row_block, sim_mode=sim_mode, mesh=mesh,
             approx_recall=approx_recall,
+            rerank_candidates=rerank_candidates,
         )
         if check_within:
             # hardcoded thresholds mirror the reference call site

@@ -77,6 +77,9 @@ def build_argparser() -> argparse.ArgumentParser:
         return f
 
     ap.add_argument("--topk_recall", type=_recall, default=None)
+    # mlp mode: cosine-prescreen + exact-MLP rerank of the top-N
+    # candidates per row (BridgeConfig.rerank_candidates)
+    ap.add_argument("--mlp_rerank", type=int, default=None)
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--max_class_num", type=int, default=10)
     ap.add_argument("--eval_mode", type=str, default="sampling",
@@ -195,6 +198,7 @@ def main(args):
         row_block=args.batch_size,
         verbose=args.verbose,
         approx_recall=args.topk_recall,
+        rerank_candidates=args.mlp_rerank,
     )
     h1, h2 = eval_homophily(merged)
     local = eval_bridged_graph(merged)

@@ -33,6 +33,13 @@ class BridgeConfig:
     # per-element recall target — 11x faster sweeps at 0.95
     # (tools/probe_topk_cosine.json); production knob
     approx_recall: "float | None" = None
+    # mlp mode only: screen columns with the MXU-speed cosine of the raw
+    # stage-1 embeddings, exact pair-MLP scores only at the top-N
+    # candidates per row (ops/sddmm.py::blockwise_rerank_topk). The exact
+    # head is VPU-elementwise-bound (37x below the cosine sweep); recall
+    # of the screen is model/data-dependent — measured on the shipped
+    # office checkpoints in tools/probe_mlp_rerank.json. None = off
+    rerank_candidates: "int | None" = None
 
 
 @dataclasses.dataclass
@@ -77,7 +84,12 @@ RECIPES: Dict[str, PipelineConfig] = {
                             backbone="mlp", seed=0, scan_epochs=25,
                             device_sampling=True),
         bridge=BridgeConfig(k_within=3, k_cross=20, check_within=True,
-                            check_cross=True, approx_recall=0.95),
+                            check_cross=True, approx_recall=0.95,
+                            # cosine-prescreen + exact-MLP rerank:
+                            # measured recall 0.997+ on both shipped
+                            # office ckpts at 256 candidates, 2.6-5.6x
+                            # sweep speedup (tools/probe_mlp_rerank.json)
+                            rerank_candidates=256),
         stage2=Stage2Config(num_layer=2, hidden=64, to_undirected=True,
                             scan_epochs=50, matmul_precision="default",
                             message_dtype="bfloat16"),

@@ -128,6 +128,7 @@ def pair_mlp_score_block(
     bias1: jax.Array,
     w2: jax.Array,
     b2: jax.Array,
+    h_chunk: int = 32,
 ) -> Callable[[jax.Array], jax.Array]:
     """Score closure for the eval-mode pair-MLP head.
 
@@ -142,13 +143,136 @@ def pair_mlp_score_block(
       w2, b2    = final Linear
 
     so score(i,j) = sigmoid(w2 · relu(a_rows[i] + b_cols[j] + bias1) + b2).
+
+    The per-pair ReLU makes the H-contraction non-factorable, so O(P·H)
+    VPU elementwise work is irreducible for exact scores; what IS free is
+    shrinking the live intermediate: processing H in ``h_chunk``-wide
+    slabs with a running [B, C] accumulator measures 1.41× the single
+    [B, C, H] einsum at 512×49k×128 on-chip (tools/probe_mlp_score.json;
+    max |Δscore| 1.7e-6 — fp reduction order only). For a real speed
+    change see :func:`blockwise_rerank_topk`.
     """
 
     def fn(idx_block):
         a = a_rows[idx_block]                       # [B, H]
-        h = a[:, None, :] + b_cols[None, :, :] + bias1  # [B, C, H]
-        h = jax.nn.relu(h)
-        logits = jnp.einsum("bch,h->bc", h, w2) + b2
-        return jax.nn.sigmoid(logits)
+        dim = a.shape[1]
+        acc = jnp.zeros((a.shape[0], b_cols.shape[0]), jnp.float32) + b2
+        for s in range(0, dim, h_chunk):
+            hs = slice(s, min(s + h_chunk, dim))
+            h = jax.nn.relu(
+                a[:, None, hs] + b_cols[None, :, hs] + bias1[hs]
+            )
+            acc = acc + jnp.einsum(
+                "bch,h->bc", h, w2[hs],
+                preferred_element_type=jnp.float32,
+            )
+        return jax.nn.sigmoid(acc)
 
     return fn
+
+
+def mlp_score_candidates(
+    a_rows: jax.Array,
+    b_cols: jax.Array,
+    bias1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    h_chunk: int = 32,
+) -> Callable[[jax.Array, jax.Array], jax.Array]:
+    """Exact pair-MLP scores restricted to per-row candidate columns.
+
+    Returns ``fn(idx_block [B], cand_idx [B, M]) → scores [B, M]`` — the
+    same math as :func:`pair_mlp_score_block` but evaluated only at the
+    M candidate columns of each row: the O(B·M·H) VPU work replaces the
+    O(B·C·H) full sweep. Gathers run per H-chunk from the [C, hc] slab so
+    the live intermediate stays [B, M, hc].
+    """
+
+    def fn(idx_block, cand_idx):
+        a = a_rows[idx_block]                       # [B, H]
+        dim = a.shape[1]
+        # ONE full-width gather (narrow per-chunk gathers are
+        # sublane-inefficient on the gather engine), then chunk H from
+        # the gathered buffer with a running [B, M] accumulator
+        bc_full = jnp.take(b_cols, cand_idx, axis=0)  # [B, M, H]
+        acc = jnp.zeros(cand_idx.shape, jnp.float32) + b2
+        for s in range(0, dim, h_chunk):
+            hs = slice(s, min(s + h_chunk, dim))
+            h = jax.nn.relu(a[:, None, hs] + bc_full[..., hs] + bias1[hs])
+            acc = acc + jnp.einsum(
+                "bmh,h->bm", h, w2[hs],
+                preferred_element_type=jnp.float32,
+            )
+        return jax.nn.sigmoid(acc)
+
+    return fn
+
+
+def blockwise_rerank_topk(
+    proxy_block_fn: Callable[[jax.Array], jax.Array],
+    exact_cand_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    num_rows: int,
+    num_cols: int,
+    k: int,
+    candidates: int,
+    row_block: int = 512,
+    col_mask: jax.Array | None = None,
+    approx_recall: float | None = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-phase per-row top-k: cheap proxy screen → exact rerank.
+
+    Phase 1 scores every column with ``proxy_block_fn`` (MXU-speed, e.g.
+    cosine of the stage-1 embeddings) and keeps the top ``candidates``
+    per row (``approx_max_k`` when ``approx_recall`` is set, exact
+    ``top_k`` when None). Phase 2 evaluates the EXACT head only at those
+    candidates (``exact_cand_fn``) and returns its top-k, with indices
+    mapped back to global column space.
+
+    This is the production answer to an elementwise-bound exact head
+    (the pair-MLP: O(P·H) irreducible VPU work, 37× below the cosine
+    sweep — VERDICT r2 weak-8): exactness of the RANKING now depends on
+    the proxy's recall at ``candidates``, which must be measured per
+    model/data (tools/probe_mlp_rerank.py measures the shipped office
+    checkpoints). With candidates ≥ num_cols it degenerates to the exact
+    sweep (used by the parity tests).
+
+    Returns (values [rows_padded, k], indices [rows_padded, k]); rows
+    beyond num_rows contain garbage (callers slice).
+    """
+    if candidates < k:
+        raise ValueError(f"candidates={candidates} < k={k}")
+    m = min(candidates, num_cols)
+    rows_padded = ((num_rows + row_block - 1) // row_block) * row_block
+    n_blocks = rows_padded // row_block
+    row_ids = jnp.arange(rows_padded, dtype=jnp.int32).reshape(
+        n_blocks, row_block
+    )
+
+    def one_block(idx_block):
+        proxy = proxy_block_fn(idx_block)           # [B, C_pad]
+        c_pad = proxy.shape[1]
+        col_valid = jnp.arange(c_pad) < num_cols
+        if col_mask is not None:
+            col_valid = col_valid & col_mask
+        proxy = jnp.where(col_valid[None, :], proxy, _NEG_INF)
+        if approx_recall is not None:
+            # aggregate_to_topk=False would skip the final top-m sort,
+            # but its PartialReduce survivor set is ~24x m wide (measured
+            # 3072 for m=128 at 49k cols) and phase-2 cost scales with
+            # candidate width — the aggregated form is the right
+            # trade (tools/probe_mlp_rerank.json)
+            _, cand = jax.lax.approx_max_k(
+                proxy, m, recall_target=float(approx_recall),
+                aggregate_to_topk=True,
+            )
+        else:
+            _, cand = jax.lax.top_k(proxy, m)
+        cand = cand.astype(jnp.int32)               # [B, M]
+        exact = exact_cand_fn(idx_block, cand)      # [B, M]
+        exact = jnp.where(col_valid[cand], exact, _NEG_INF)
+        vals, pos = jax.lax.top_k(exact, k)
+        idxs = jnp.take_along_axis(cand, pos, axis=1)
+        return vals, idxs
+
+    vals, idxs = jax.lax.map(one_block, row_ids)
+    return vals.reshape(rows_padded, k), idxs.reshape(rows_padded, k)

@@ -60,6 +60,7 @@ def run_pipeline(
         sim_mode=cfg.stage1.sim_mode, epsilon=cfg.bridge.epsilon,
         row_block=cfg.bridge.row_block, mesh=mesh,
         approx_recall=cfg.bridge.approx_recall,
+        rerank_candidates=cfg.bridge.rerank_candidates,
     )
     diagnostics = dict(
         homophily=eval_homophily(merged),

@@ -231,3 +231,74 @@ def test_gen_bridged_graph_approx_recall_plumbing(model_and_vars, rng):
         approx_recall=0.95, **kw
     )
     np.testing.assert_array_equal(exact["edge_index"], approx["edge_index"])
+
+
+def test_propose_cross_edges_rerank_full_cover_matches(model_and_vars, rng):
+    """rerank_candidates >= N_src with exact phase-1 degenerates to the
+    exact sweep; small candidate budgets still return valid shapes and
+    achievable scores (recall on the shipped checkpoints is measured in
+    tools/probe_mlp_rerank.py)."""
+    model, variables = model_and_vars
+    src_d, tar_d = _synthetic_domains(rng)
+    g_src = graph_from_dict(src_d)
+    g_tar = graph_from_dict(tar_d)
+    k = 5
+    ei_e, sims_e, *_ = propose_cross_edges(
+        model, variables, g_src, None, g_tar, None, k,
+        row_block=16, sim_mode="mlp",
+    )
+    ei_r, sims_r, *_ = propose_cross_edges(
+        model, variables, g_src, None, g_tar, None, k,
+        row_block=16, sim_mode="mlp", rerank_candidates=g_src.num_nodes,
+    )
+    np.testing.assert_array_equal(ei_r, ei_e)
+    np.testing.assert_allclose(sims_r, sims_e, rtol=1e-5)
+
+    # tight candidate budget: sims must be exact head scores at the
+    # returned indices (subset-of-columns property), rows sorted desc
+    ei_t, sims_t, *_ = propose_cross_edges(
+        model, variables, g_tar, None, g_tar, None, k,
+        row_block=16, sim_mode="mlp", rerank_candidates=8,
+    )
+    assert ei_t.shape == (2, g_tar.num_nodes * k)
+    assert (np.diff(sims_t, axis=1) <= 1e-6).all()
+
+
+def test_rerank_with_mesh_raises(model_and_vars, rng):
+    from bridged_gnn_tpu.parallel import make_mesh
+
+    model, variables = model_and_vars
+    src_d, tar_d = _synthetic_domains(rng)
+    g_src = graph_from_dict(src_d)
+    g_tar = graph_from_dict(tar_d)
+    with pytest.raises(NotImplementedError, match="rerank"):
+        propose_cross_edges(
+            model, variables, g_src, None, g_tar, None, 5,
+            row_block=16, sim_mode="mlp", rerank_candidates=8,
+            mesh=make_mesh(8),
+        )
+
+
+def test_rerank_recall_on_shipped_ckpt(a2d_ckpt, model_and_vars, a2d_dict):
+    """Golden recall guard for the cosine-prescreen proxy: on the shipped
+    a2d checkpoint scoring the shipped office features (reconstructed per
+    domain from the golden bridged graph), the rerank top-20 at 256
+    candidates must keep >=0.99 mean recall vs the exact pair-MLP sweep
+    (measured 0.9985 — tools/probe_mlp_rerank.json). Catches regressions
+    in the head decomposition or the proxy path."""
+    from bridged_gnn_tpu.bridge.build import _encode, _topk_grid
+
+    model, variables = model_and_vars
+    src_d, tar_d, _, _ = domain_split_np(dict(a2d_dict))
+    g_src = graph_from_dict(src_d)
+    g_tar = graph_from_dict(tar_d)
+    z_src, z_tar = _encode(model, variables, g_src, None, g_tar, None)
+    z_src, z_tar = np.asarray(z_src), np.asarray(z_tar)
+    k = 20
+    _, ie = _topk_grid(variables, z_tar, z_src, k, "mlp", 512)
+    _, ir = _topk_grid(variables, z_tar, z_src, k, "mlp", 512,
+                       rerank_candidates=256)
+    recall = np.mean([
+        len(set(ie[i]) & set(ir[i])) / k for i in range(ie.shape[0])
+    ])
+    assert recall >= 0.99, f"rerank recall regressed: {recall:.4f}"

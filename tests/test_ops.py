@@ -204,3 +204,103 @@ def test_blockwise_topk_approx_recall_validation():
     with _pytest.raises(ValueError, match="percentage"):
         blockwise_pair_scores_topk(lambda i: None, 8, 8, 2,
                                    approx_recall=95.0)
+
+
+def _mlp_head(rng, ns, h):
+    b = rng.normal(size=(ns, h)).astype(np.float32)
+    b1 = rng.normal(size=h).astype(np.float32)
+    w2 = rng.normal(size=h).astype(np.float32)
+    return b, b1, w2, np.float32(0.3)
+
+
+def test_mlp_score_candidates_matches_full(rng):
+    """The candidate-restricted exact scorer equals the full-sweep scores
+    gathered at the same candidate columns."""
+    from bridged_gnn_tpu.ops.sddmm import mlp_score_candidates
+
+    nt_pad, ns, h, m = 16, 20, 8, 7
+    a = rng.normal(size=(nt_pad, h)).astype(np.float32)
+    b, b1, w2, b2 = _mlp_head(rng, ns, h)
+    cand = rng.integers(0, ns, size=(8, m)).astype(np.int32)
+    fn = mlp_score_candidates(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(b1),
+        jnp.asarray(w2), b2, h_chunk=3,  # non-divisor chunk on purpose
+    )
+    got = np.asarray(fn(jnp.arange(8, dtype=jnp.int32), jnp.asarray(cand)))
+
+    def sigmoid(x):
+        return 1 / (1 + np.exp(-x))
+
+    full = sigmoid(
+        np.maximum(a[:8, None, :] + b[None, :, :] + b1, 0) @ w2 + b2
+    )
+    want = np.take_along_axis(full, cand, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_rerank_topk_exact_when_candidates_cover(rng):
+    """candidates >= num_cols + exact phase-1 selection degenerates to
+    the exact full sweep: same values, same indices."""
+    from bridged_gnn_tpu.ops.sddmm import (
+        blockwise_rerank_topk,
+        mlp_score_candidates,
+    )
+
+    nt, ns, h, k = 11, 21, 8, 4
+    a = rng.normal(size=(16, h)).astype(np.float32)
+    b, b1, w2, b2 = _mlp_head(rng, ns, h)
+    args = (jnp.asarray(a), jnp.asarray(b), jnp.asarray(b1),
+            jnp.asarray(w2), b2)
+    ve, ie = blockwise_pair_scores_topk(
+        pair_mlp_score_block(*args), nt, ns, k, row_block=8
+    )
+    # proxy is irrelevant when every column is a candidate; use garbage
+    proxy = cosine_score_block(
+        jnp.asarray(rng.normal(size=(16, h)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(ns, h)).astype(np.float32)),
+    )
+    vr, ir = blockwise_rerank_topk(
+        proxy, mlp_score_candidates(*args), nt, ns, k,
+        candidates=ns + 5, row_block=8, approx_recall=None,
+    )
+    np.testing.assert_allclose(np.asarray(vr)[:nt], np.asarray(ve)[:nt],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ir)[:nt], np.asarray(ie)[:nt])
+
+
+def test_rerank_topk_perfect_proxy_and_mask(rng):
+    """With the exact head as its own proxy, candidates=k suffices; a
+    col_mask excludes columns from both phases."""
+    from bridged_gnn_tpu.ops.sddmm import (
+        blockwise_rerank_topk,
+        mlp_score_candidates,
+    )
+
+    nt, ns, h, k = 9, 17, 8, 3
+    a = rng.normal(size=(16, h)).astype(np.float32)
+    b, b1, w2, b2 = _mlp_head(rng, ns, h)
+    args = (jnp.asarray(a), jnp.asarray(b), jnp.asarray(b1),
+            jnp.asarray(w2), b2)
+    mask = rng.random(ns) < 0.7
+    mask[:k] = True  # keep enough valid columns
+    ve, ie = blockwise_pair_scores_topk(
+        pair_mlp_score_block(*args), nt, ns, k, row_block=8,
+        col_mask=jnp.asarray(mask),
+    )
+    vr, ir = blockwise_rerank_topk(
+        pair_mlp_score_block(*args), mlp_score_candidates(*args),
+        nt, ns, k, candidates=k, row_block=8, approx_recall=None,
+        col_mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(vr)[:nt], np.asarray(ve)[:nt],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ir)[:nt], np.asarray(ie)[:nt])
+    assert mask[np.asarray(ir)[:nt].reshape(-1)].all()
+
+
+def test_rerank_topk_validates_candidates():
+    from bridged_gnn_tpu.ops.sddmm import blockwise_rerank_topk
+
+    with pytest.raises(ValueError, match="candidates"):
+        blockwise_rerank_topk(lambda i: None, lambda i, c: None,
+                              8, 8, k=5, candidates=3)

@@ -91,6 +91,30 @@ for name, ar in (("exact", None), ("approx_0.95", 0.95)):
     t, _ = timeit(f, n=3)
     res[f"mlp_{name}_pairs_per_s"] = R * C / t
 
+# --- cosine-prescreen + exact-MLP rerank (ops/sddmm.blockwise_rerank_topk)
+# Timing-only here: synthetic random weights make the cosine proxy
+# uncorrelated with the mlp head, so recall on THIS data is meaningless;
+# recall on the shipped office checkpoints (0.992 at 128 / 0.997+ at 256
+# candidates) is measured in tools/probe_mlp_rerank.json.
+from bridged_gnn_tpu.ops.sddmm import (  # noqa: E402
+    blockwise_rerank_topk,
+    mlp_score_candidates,
+)
+
+proxy_fn = cosine_score_block(
+    jnp.asarray(zt, dtype=jnp.bfloat16), jnp.asarray(zs, dtype=jnp.bfloat16)
+)
+cand_fn = mlp_score_candidates(a_rows, b_cols, bias1, w2, b2)
+for m in (128, 256):
+    f = jax.jit(
+        lambda m=m: blockwise_rerank_topk(
+            proxy_fn, cand_fn, R, C, K, candidates=m, row_block=BLOCK,
+            approx_recall=0.95,
+        )
+    )
+    t, _ = timeit(f, n=3)
+    res[f"mlp_rerank_{m}_pairs_per_s"] = R * C / t
+
 # back-compat keys
 res["cosine_pairs_per_s"] = res["cosine_exact_pairs_per_s"]
 res["mlp_pairs_per_s"] = res["mlp_exact_pairs_per_s"]
