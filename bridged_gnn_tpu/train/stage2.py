@@ -270,17 +270,25 @@ def _train_ktgnn_impl(data, cfg):
     opt_state = tx.init(params)
 
     is_ktgnn = not cfg.no_dtc and cfg.model_name == "KTGNN"
-    tar_train = g.train_mask & (~g.central_mask)
 
-    def apply_model(variables, train, **kw):
+    # g and adj enter every jitted step as ARGUMENTS, never as closure
+    # captures: closure-captured graph-sized arrays are embedded into the
+    # HLO as constants and XLA constant-folds over them, which makes
+    # compile time scale with graph size (measured 128 s at 262k nodes
+    # round 2; 4x lower with argument passing — DESIGN.md §9). The
+    # blocked layouts inside adj.fast_fn remain static by design (they
+    # feed Mosaic kernel shapes); frontiers stays closed over (None in
+    # every run.sh config).
+    def apply_model(variables, train, g, adj, **kw):
         if is_ktgnn and frontiers is not None:
             return model.apply(variables, g, adj, train,
                                frontiers=frontiers, **kw)
         return model.apply(variables, g, adj, train, **kw)
 
-    def loss_fn(params, batch_stats, dropout_rng):
+    def loss_fn(params, batch_stats, dropout_rng, g, adj):
+        tar_train = g.train_mask & (~g.central_mask)
         outs, mutated = apply_model(
-            {"params": params, "batch_stats": batch_stats}, True,
+            {"params": params, "batch_stats": batch_stats}, True, g, adj,
             rngs={"dropout": dropout_rng},
             mutable=["batch_stats"],
         )
@@ -309,18 +317,18 @@ def _train_ktgnn_impl(data, cfg):
         return loss, (aux, mutated["batch_stats"])
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, dropout_rng):
+    def train_step(params, batch_stats, opt_state, dropout_rng, g, adj):
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, batch_stats, dropout_rng)
+        )(params, batch_stats, dropout_rng, g, adj)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, opt_state, loss, aux
 
     @jax.jit
-    def eval_step(params, batch_stats):
+    def eval_step(params, batch_stats, g, adj):
         outs = apply_model(
-            {"params": params, "batch_stats": batch_stats}, False
+            {"params": params, "batch_stats": batch_stats}, False, g, adj
         )
         if is_ktgnn:
             lp_s, lp_t, lp_that, _ = outs
@@ -335,7 +343,7 @@ def _train_ktgnn_impl(data, cfg):
             lp_s, lp_t, lp_that,
         )
 
-    def _confusion_counts(pred, mask):
+    def _confusion_counts(pred, mask, g):
         """[3, C+1] tp/pred/true counts over masked rows. Bin C holds
         y == -1 rows (never predicted) so host-side macro-F1 reproduces
         sklearn's label set exactly (metrics.score_from_counts)."""
@@ -352,15 +360,16 @@ def _train_ktgnn_impl(data, cfg):
             [tp, jnp.sum(oh_pred, axis=0), jnp.sum(oh_true, axis=0)]
         )
 
-    def _epoch_body(carry, _):
+    def _epoch_body(carry, _, g, adj):
         params, bs, opt_state, rng = carry
         rng, drop = jax.random.split(rng)
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(params, bs, drop)
+        )(params, bs, drop, g, adj)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        outs = apply_model({"params": params, "batch_stats": new_bs}, False)
+        outs = apply_model({"params": params, "batch_stats": new_bs},
+                           False, g, adj)
         if is_ktgnn:
             lp_s, lp_t, lp_that, _ = outs
         else:
@@ -376,11 +385,11 @@ def _train_ktgnn_impl(data, cfg):
         # target-hat head) plus the per-head test rows used when a new
         # best epoch is recorded.
         counts = jnp.stack([
-            _confusion_counts(p_s, g.train_mask),
-            _confusion_counts(p_that, g.val_mask),
-            _confusion_counts(p_that, g.test_mask),
-            _confusion_counts(p_s, g.test_mask),
-            _confusion_counts(p_t, g.test_mask),
+            _confusion_counts(p_s, g.train_mask, g),
+            _confusion_counts(p_that, g.val_mask, g),
+            _confusion_counts(p_that, g.test_mask, g),
+            _confusion_counts(p_s, g.test_mask, g),
+            _confusion_counts(p_t, g.test_mask, g),
         ])
         ys = (loss, aux["loss_t2"], counts)
         return (params, new_bs, opt_state, rng), ys
@@ -391,9 +400,14 @@ def _train_ktgnn_impl(data, cfg):
         """Run `length` epochs in one device dispatch (lax.scan)."""
         if length not in _scan_cache:
             _scan_cache[length] = jax.jit(
-                lambda c: jax.lax.scan(_epoch_body, c, None, length=length)
+                lambda c, g, adj: jax.lax.scan(
+                    lambda carry, x: _epoch_body(carry, x, g, adj),
+                    c, None, length=length,
+                )
             )
-        return _scan_cache[length]((params, batch_stats, opt_state, rng))
+        return _scan_cache[length](
+            (params, batch_stats, opt_state, rng), g, adj
+        )
 
     y_np = np.asarray(g.y)
     masks_np = {
@@ -404,7 +418,7 @@ def _train_ktgnn_impl(data, cfg):
 
     def evaluate(params, batch_stats):
         pred_s, pred_t, pred_that, lp_s, lp_t, lp_that = (
-            np.asarray(a) for a in eval_step(params, batch_stats)
+            np.asarray(a) for a in eval_step(params, batch_stats, g, adj)
         )
 
         def probs_pos(lp, mask):
@@ -450,7 +464,7 @@ def _train_ktgnn_impl(data, cfg):
         dbg_model = model.clone(debug_spread=True, fused_recompute_bwd=True)
 
         @jax.jit
-        def spread_fn(params, batch_stats):
+        def spread_fn(params, batch_stats, g, adj):
             _, diag = dbg_model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 g, adj, False, mutable=["diagnostics"],
@@ -471,7 +485,7 @@ def _train_ktgnn_impl(data, cfg):
             f"train state at epoch {epoch}",
         )
         if spread_fn is not None:
-            sp = float(spread_fn(params, batch_stats))
+            sp = float(spread_fn(params, batch_stats, g, adj))
             numerics_state["max_spread"] = max(
                 numerics_state["max_spread"], sp
             )
@@ -604,7 +618,7 @@ def _train_ktgnn_impl(data, cfg):
         with timer:
             rng, drop_rng = jax.random.split(rng)
             params, batch_stats, opt_state, loss, aux = train_step(
-                params, batch_stats, opt_state, drop_rng
+                params, batch_stats, opt_state, drop_rng, g, adj
             )
             loss_t2 = float(aux["loss_t2"])
             numerics_check(params, batch_stats, float(loss), epoch)

@@ -85,7 +85,14 @@ for n_nodes in _sizes:
     opt_state = tx.init(params)
     tt = g.train_mask & ~g.central_mask
 
-    def loss_fn(params, batch_stats, drop):
+    # BGNN_PASS_GRAPH=1: pass the graph + adjacency pytrees as jit
+    # ARGUMENTS instead of closure constants. Closure-captured
+    # graph-sized arrays are embedded into HLO as constants and XLA
+    # constant-folds over them, so compile time scales with graph size
+    # (measured: 9.2 -> 2.6 s at 32k, 20.8 -> 5.0 s at 65k on CPU)
+    pass_graph = _os.environ.get("BGNN_PASS_GRAPH") == "1"
+
+    def loss_fn(params, batch_stats, drop, g=g, adj=adj):
         outs, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
             g, adj, True, rngs={"dropout": drop},
@@ -99,18 +106,33 @@ for n_nodes in _sizes:
         ) / 4.0 + 1.0 * kl_batchmean(lp_that, lp_t, g.node_mask)
         return loss, mut["batch_stats"]
 
-    @jax.jit
-    def step(params, batch_stats, opt_state, key):
-        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, key
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), bs, opt_state, loss
+    if pass_graph:
+        @jax.jit
+        def step(params, batch_stats, opt_state, key, g, adj):
+            (loss, bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batch_stats, key, g, adj)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), bs, opt_state,
+                    loss)
+
+        extra = (g, adj)
+    else:
+        @jax.jit
+        def step(params, batch_stats, opt_state, key):
+            (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, key
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), bs, opt_state,
+                    loss)
+
+        extra = ()
 
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
     params, batch_stats, opt_state, loss = step(
-        params, batch_stats, opt_state, key
+        params, batch_stats, opt_state, key, *extra
     )
     jax.block_until_ready(loss)
     compile_s = time.perf_counter() - t0
@@ -118,7 +140,8 @@ for n_nodes in _sizes:
     t0 = time.perf_counter()
     for i in range(iters):
         params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, jax.random.fold_in(key, i)
+            params, batch_stats, opt_state, jax.random.fold_in(key, i),
+            *extra
         )
     jax.block_until_ready(loss)
     epoch_s = (time.perf_counter() - t0) / iters
