@@ -441,6 +441,30 @@ def padded_gather_reduce(
     return out.reshape(B * nb, d)[: lay.num_nodes_padded]
 
 
+def float0_zeros(tree):
+    """Symbolic-zero cotangents for an integer/bool pytree (what
+    custom_vjp backward rules must return for non-inexact primals)."""
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(jnp.shape(a), jax.dtypes.float0), tree
+    )
+
+
+def _lay_arrays(lay: PaddedLayout) -> dict:
+    return dict(other=lay.other_slot, rel=lay.rel_key,
+                edge=lay.slot_edge, mask=lay.slot_mask)
+
+
+def _lay_from(arrs: dict, meta: PaddedLayout) -> PaddedLayout:
+    """PaddedLayout from (possibly traced) arrays + static dims."""
+    return PaddedLayout(
+        other_slot=arrs["other"], rel_key=arrs["rel"],
+        slot_edge=arrs["edge"], slot_mask=arrs["mask"],
+        node_block=meta.node_block, tile_e=meta.tile_e,
+        num_blocks=meta.num_blocks,
+        num_nodes_padded=meta.num_nodes_padded,
+    )
+
+
 def make_slot_gather(
     lay_dst: PaddedLayout,
     lay_src: PaddedLayout,
@@ -450,25 +474,41 @@ def make_slot_gather(
 
     Backward is the src-keyed padded one-hot reduce (no scatter): the
     slot cotangents are re-ordered dst-slot -> src-slot with a
-    host-precomputed index map, then reduced by sender. Works on host
-    layouts AND on per-shard layouts built from traced (sharded) arrays
-    inside shard_map (parallel/halopart.py)."""
+    host-precomputed index map, then reduced by sender.
+
+    The layout arrays ride through the custom_vjp as an explicit aux
+    primal (float0 cotangents), NEVER as closure captures: a custom_vjp
+    backward referencing arrays captured from an outer trace fails at
+    transposition ("no constant handler" / UnexpectedTracerError), and
+    the arrays may well be tracers — jit arguments (rebind_blocked_ops)
+    or shard_map-local slices (parallel/halopart.py). Only the static
+    dims stay in the closure."""
+    aux0 = dict(ld=_lay_arrays(lay_dst), ls=_lay_arrays(lay_src),
+                sfd=src_from_dst)
+    meta_dst, meta_src = lay_dst, lay_src
 
     @jax.custom_vjp
-    def gather_slots(x):
-        return x[lay_dst.other_slot].reshape(
-            lay_dst.num_blocks, lay_dst.tile_e, -1
+    def _gather(x, aux):
+        return x[aux["ld"]["other"]].reshape(
+            meta_dst.num_blocks, meta_dst.tile_e, -1
         )
 
-    def gsl_fwd(x):
-        return gather_slots(x), x.shape[0]
+    def gsl_fwd(x, aux):
+        return _gather(x, aux), (x.shape[0], aux)
 
-    def gsl_bwd(n_rows, dm):
+    def gsl_bwd(res, dm):
+        n_rows, aux = res
         dm_flat = dm.reshape(-1, dm.shape[-1])
-        du = padded_slot_reduce(lay_src, dm_flat[src_from_dst])
-        return (du[:n_rows].astype(dm.dtype),)
+        du = padded_slot_reduce(
+            _lay_from(aux["ls"], meta_src), dm_flat[aux["sfd"]]
+        )
+        return du[:n_rows].astype(dm.dtype), float0_zeros(aux)
 
-    gather_slots.defvjp(gsl_fwd, gsl_bwd)
+    _gather.defvjp(gsl_fwd, gsl_bwd)
+
+    def gather_slots(x):
+        return _gather(x, aux0)
+
     return gather_slots
 
 
@@ -491,6 +531,39 @@ class BlockedOps(NamedTuple):
     gather_slots: object
     lay_dst: PaddedLayout
     lay_src: PaddedLayout
+    # src-slot -> dst-slot cotangent reorder map (kept so the ops can be
+    # re-bound to traced arrays — see bind_blocked_ops)
+    src_from_dst: object = None
+    senders: object = None
+    receivers: object = None
+    edge_mask: object = None
+
+
+def bind_blocked_ops(
+    lay_dst: PaddedLayout,
+    lay_src: PaddedLayout,
+    src_from_dst: jax.Array,
+    senders: jax.Array,
+    receivers: jax.Array,
+    edge_mask: jax.Array,
+) -> BlockedOps:
+    """Build the BlockedOps closures from prebuilt layout arrays.
+
+    The arrays may be concrete (host-built layouts — make_blocked_ops
+    path) or TRACED: jit arguments, or shard_map-local slices (the halo
+    partition builds per-shard ops exactly this way,
+    parallel/halopart.py). Passing layouts as jit arguments instead of
+    closure constants keeps graph-sized arrays out of the compiled HLO —
+    closure constants make compile time scale with graph size and, over
+    this environment's remote-compile transport, overflow the request
+    body above ~0.5M nodes (DESIGN.md §9).
+    """
+    senders_j = jnp.asarray(senders)
+    receivers_j = jnp.asarray(receivers)
+    mask_j = jnp.asarray(edge_mask)
+    return _bind_blocked_ops_impl(
+        lay_dst, lay_src, src_from_dst, senders_j, receivers_j, mask_j
+    )
 
 
 def make_blocked_ops(
@@ -529,6 +602,25 @@ def make_blocked_ops(
     senders_j = jnp.asarray(s.astype(np.int32))
     receivers_j = jnp.asarray(r.astype(np.int32))
     mask_j = jnp.asarray(em)
+    return _bind_blocked_ops_impl(
+        lay_dst, lay_src, src_from_dst, senders_j, receivers_j, mask_j
+    )
+
+
+def _bind_blocked_ops_impl(
+    lay_dst, lay_src, src_from_dst, senders_j, receivers_j, mask_j
+) -> BlockedOps:
+    # All index/mask arrays ride through the custom VJPs as an explicit
+    # aux primal with float0 cotangents (see make_slot_gather's
+    # docstring for why closure capture is not an option); only static
+    # dims live in the closures.
+    meta_dst, meta_src = lay_dst, lay_src
+    aux0 = dict(ld=_lay_arrays(lay_dst), ls=_lay_arrays(lay_src),
+                sfd=src_from_dst, s=senders_j, r=receivers_j, m=mask_j)
+
+    def _lays(aux):
+        return _lay_from(aux["ld"], meta_dst), _lay_from(aux["ls"],
+                                                         meta_src)
 
     def slot_w(lay, w):
         return (
@@ -536,27 +628,29 @@ def make_blocked_ops(
         )
 
     @jax.custom_vjp
-    def spmm_fast(x, w):
-        wm = jnp.where(mask_j, w, 0)
+    def spmm_fast(x, w, aux):
+        ld, _ = _lays(aux)
+        wm = jnp.where(aux["m"], w, 0)
         return padded_gather_reduce(
-            lay_dst, x, slot_w(lay_dst, wm.astype(x.dtype))
+            ld, x, slot_w(ld, wm.astype(x.dtype))
         ).astype(x.dtype)
 
-    def spmm_fwd(x, w):
-        return spmm_fast(x, w), (x, w)
+    def spmm_fwd(x, w, aux):
+        return spmm_fast(x, w, aux), (x, w, aux)
 
     def spmm_bwd(res, dout):
-        x, w = res
+        x, w, aux = res
+        _, ls = _lays(aux)
         dout = dout.astype(x.dtype)
-        wm = jnp.where(mask_j, w, 0).astype(x.dtype)
+        wm = jnp.where(aux["m"], w, 0).astype(x.dtype)
         # dx[u] = Σ_{(u,v)} w_uv · dout[v]  — src-keyed padded reduce
         dx = padded_gather_reduce(
-            lay_src, dout, slot_w(lay_src, wm)
+            ls, dout, slot_w(ls, wm)
         ).astype(x.dtype)
         # dw_uv = dout[v] · x[u]
-        dmsg = jnp.where(mask_j[:, None], dout[receivers_j], 0)
-        dw = jnp.sum(dmsg * x[senders_j], axis=-1).astype(w.dtype)
-        return dx, dw
+        dmsg = jnp.where(aux["m"][:, None], dout[aux["r"]], 0)
+        dw = jnp.sum(dmsg * x[aux["s"]], axis=-1).astype(w.dtype)
+        return dx, dw, float0_zeros(aux)
 
     spmm_fast.defvjp(spmm_fwd, spmm_bwd)
 
@@ -565,43 +659,51 @@ def make_blocked_ops(
     # time at bench scale — the engine is issue-rate-bound regardless of
     # row width, DESIGN.md §2); the slot mask is a layout constant
     @jax.custom_vjp
-    def spmm_unw(x):
-        return padded_gather_reduce(lay_dst, x).astype(x.dtype)
+    def spmm_unw(x, aux):
+        ld, _ = _lays(aux)
+        return padded_gather_reduce(ld, x).astype(x.dtype)
 
-    def spmm_unw_fwd(x):
-        return spmm_unw(x), None
+    def spmm_unw_fwd(x, aux):
+        return spmm_unw(x, aux), aux
 
-    def spmm_unw_bwd(_, dout):
-        dx = padded_gather_reduce(lay_src, dout)
-        return (dx.astype(dout.dtype),)
+    def spmm_unw_bwd(aux, dout):
+        _, ls = _lays(aux)
+        dx = padded_gather_reduce(ls, dout)
+        return dx.astype(dout.dtype), float0_zeros(aux)
 
     spmm_unw.defvjp(spmm_unw_fwd, spmm_unw_bwd)
 
     def spmm_dispatch(x, w=None):
-        return spmm_fast(x, w) if w is not None else spmm_unw(x)
+        return (spmm_fast(x, w, aux0) if w is not None
+                else spmm_unw(x, aux0))
 
     @jax.custom_vjp
-    def pair_sum(u):
-        e = u[senders_j] + u[receivers_j]
-        return jnp.where(mask_j[:, None], e, 0)
+    def _pair_sum(u, aux):
+        e = u[aux["s"]] + u[aux["r"]]
+        return jnp.where(aux["m"][:, None], e, 0)
 
-    def ps_fwd(u):
-        return pair_sum(u), None
+    def ps_fwd(u, aux):
+        return _pair_sum(u, aux), aux
 
-    def ps_bwd(_, de):
-        de = jnp.where(mask_j[:, None], de, 0)
+    def ps_bwd(aux, de):
+        ld, ls = _lays(aux)
+        de = jnp.where(aux["m"][:, None], de, 0)
         # du = Σ_{e: s_e=u} de[e] + Σ_{e: r_e=u} de[e]; the padded
         # layouts reduce the de rows permuted into each slot order
-        du = padded_slot_reduce(lay_dst, de[lay_dst.slot_edge]) + \
-            padded_slot_reduce(lay_src, de[lay_src.slot_edge])
-        return (du.astype(de.dtype),)
+        du = padded_slot_reduce(ld, de[ld.slot_edge]) + \
+            padded_slot_reduce(ls, de[ls.slot_edge])
+        return du.astype(de.dtype), float0_zeros(aux)
 
-    pair_sum.defvjp(ps_fwd, ps_bwd)
+    _pair_sum.defvjp(ps_fwd, ps_bwd)
+
+    def pair_sum(u):
+        return _pair_sum(u, aux0)
 
     gather_slots = make_slot_gather(lay_dst, lay_src, src_from_dst)
     return BlockedOps(
         spmm=spmm_dispatch, pair_sum=pair_sum, gather_slots=gather_slots,
-        lay_dst=lay_dst, lay_src=lay_src,
+        lay_dst=lay_dst, lay_src=lay_src, src_from_dst=src_from_dst,
+        senders=senders_j, receivers=receivers_j, edge_mask=mask_j,
     )
 
 
@@ -616,3 +718,41 @@ def make_spmm_fast(
     return make_blocked_ops(
         senders, receivers, edge_mask, num_nodes_padded, node_block
     ).spmm
+
+
+def blocked_ops_leaves(ops: BlockedOps) -> dict:
+    """Array leaves of a BlockedOps, as a jit-passable pytree (dict).
+
+    Pair with :func:`rebind_blocked_ops` inside the jitted function to
+    keep the layout arrays out of the compiled HLO (they would otherwise
+    be embedded as constants — compile time then scales with graph size
+    and the remote-compile request overflows above ~0.5M nodes)."""
+    def lay_leaves(lay):
+        return dict(other=lay.other_slot, rel=lay.rel_key,
+                    edge=lay.slot_edge, mask=lay.slot_mask)
+
+    return dict(
+        ld=lay_leaves(ops.lay_dst), ls=lay_leaves(ops.lay_src),
+        src_from_dst=ops.src_from_dst, senders=ops.senders,
+        receivers=ops.receivers, edge_mask=ops.edge_mask,
+    )
+
+
+def rebind_blocked_ops(leaves: dict, meta: BlockedOps) -> BlockedOps:
+    """Rebuild BlockedOps from (possibly traced) array leaves + the
+    static dims of the host-built ``meta`` ops. Call INSIDE the jitted
+    step with ``leaves`` passed as an argument."""
+    def lay(ll, ml):
+        return PaddedLayout(
+            other_slot=ll["other"], rel_key=ll["rel"],
+            slot_edge=ll["edge"], slot_mask=ll["mask"],
+            node_block=ml.node_block, tile_e=ml.tile_e,
+            num_blocks=ml.num_blocks,
+            num_nodes_padded=ml.num_nodes_padded,
+        )
+
+    return bind_blocked_ops(
+        lay(leaves["ld"], meta.lay_dst), lay(leaves["ls"], meta.lay_src),
+        leaves["src_from_dst"], leaves["senders"], leaves["receivers"],
+        leaves["edge_mask"],
+    )

@@ -32,6 +32,9 @@ import jax.numpy as jnp
 
 from bridged_gnn_tpu.ops.blocked_segment import (
     BlockedOps,
+    _lay_arrays,
+    _lay_from,
+    float0_zeros,
     padded_block_expand,
     padded_dst_expand,
     padded_slot_reduce,
@@ -72,10 +75,22 @@ def make_adapted_attention(
     """
     lay = ops.lay_dst
     B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
-    valid = lay.slot_mask.reshape(B, Et)
     slope = negative_slope
+    # NOTE: no array computation at closure scope, and every layout/index
+    # array rides through the custom_vjp as the explicit ``aux`` primal
+    # (float0 cotangents). Two failure modes otherwise: (1)
+    # make_adapted_attention runs inside module __call__, i.e. possibly
+    # inside a jax.checkpoint (nn.remat) trace — an array staged HERE
+    # becomes a tracer of that trace, and capturing it in the custom-VJP
+    # backward (traced later, during transposition) raises
+    # UnexpectedTracerError; (2) with rebind_blocked_ops the layout
+    # arrays ARE tracers of the caller's trace, which a custom_vjp
+    # closure may not capture at all. Only static dims stay closed over.
+    meta_dst, meta_src = ops.lay_dst, ops.lay_src
+    aux0 = dict(ld=_lay_arrays(ops.lay_dst), ls=_lay_arrays(ops.lay_src),
+                sfd=ops.src_from_dst)
 
-    def _expand_scalar(v):            # [B, nb] -> [B, Et] via MXU
+    def _expand_scalar(lay, v):       # [B, nb] -> [B, Et] via MXU
         return padded_block_expand(lay, v[:, :, None])[..., 0]
 
     def _pad_blocks(u):               # [N_out, D] -> [B, nb, D]
@@ -83,9 +98,21 @@ def make_adapted_attention(
         u_pad = jnp.pad(u, ((0, n_full - u.shape[0]), (0, 0)))
         return u_pad.reshape(B, nb, -1)
 
-    def _forward(u1, u2, u1_dst, u2_dst, central, a1, a2):
+    def _gather_rows(u_cat, aux):     # inlined gather (fwd form)
+        return u_cat[aux["ld"]["other"]].reshape(B, Et, -1)
+
+    def _gather_rows_vjp(dm, n_rows, aux):   # inlined gather transpose
+        dm_flat = dm.reshape(-1, dm.shape[-1])
+        du = padded_slot_reduce(
+            _lay_from(aux["ls"], meta_src), dm_flat[aux["sfd"]]
+        )
+        return du[:n_rows].astype(dm.dtype)
+
+    def _forward(u1, u2, u1_dst, u2_dst, central, a1, a2, aux):
         dch = u1.shape[-1]
-        m = ops.gather_slots(jnp.concatenate([u1, u2], axis=-1))
+        lay = _lay_from(aux["ld"], meta_dst)
+        valid = lay.slot_mask.reshape(B, Et)
+        m = _gather_rows(jnp.concatenate([u1, u2], axis=-1), aux)
         m1, m2 = m[..., :dch], m[..., dch:]
         d = padded_dst_expand(
             lay, jnp.concatenate([u1_dst, u2_dst], axis=-1)
@@ -97,7 +124,9 @@ def make_adapted_attention(
         l2 = jnp.einsum("bed,d->be", h2, a2.astype(h2.dtype))
         n_full = B * nb
         c_pad = jnp.pad(central, (0, n_full - central.shape[0]))
-        c_slot = _expand_scalar(c_pad.reshape(B, nb).astype(jnp.float32))
+        c_slot = _expand_scalar(
+            lay, c_pad.reshape(B, nb).astype(jnp.float32)
+        )
         is_c = c_slot > 0.5
         lm = jnp.where(
             valid, jnp.where(is_c, l1, l2).astype(jnp.float32), _NEG
@@ -106,14 +135,14 @@ def make_adapted_attention(
             jnp.int32, (1, nb, 1), 1
         )
         mx = jnp.max(jnp.where(ohb, lm[:, None, :], _NEG), axis=2)
-        mx_slot = _expand_scalar(mx)
+        mx_slot = _expand_scalar(lay, mx)
         ex = jnp.where(valid, jnp.exp(lm - mx_slot), 0.0)
         denom = jax.lax.dot_general(
             ohb.astype(jnp.float32), ex[:, :, None],
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        den_slot = _expand_scalar(denom[..., 0])
+        den_slot = _expand_scalar(lay, denom[..., 0])
         alpha = ex / jnp.where(den_slot == 0, 1.0, den_slot)
         w1 = (alpha * c_slot).astype(u1.dtype)
         w2 = (alpha * (1.0 - c_slot)).astype(u1.dtype)
@@ -121,35 +150,41 @@ def make_adapted_attention(
             + padded_slot_reduce(lay, m2, w2)
         return out.astype(u1.dtype), (alpha, c_slot)
 
-    def _forward_kernel(u1, u2, u1_dst, u2_dst, central, a1, a2):
+    def _forward_kernel(u1, u2, u1_dst, u2_dst, central, a1, a2, aux):
         from bridged_gnn_tpu.ops.pallas_fused import (
             adapted_attention_fwd_pallas,
         )
 
-        m = ops.gather_slots(jnp.concatenate([u1, u2], axis=-1))
+        klay = _lay_from(aux["ld"], meta_dst)
+        m = _gather_rows(jnp.concatenate([u1, u2], axis=-1), aux)
         out, alpha, _ = adapted_attention_fwd_pallas(
-            lay, m, u1_dst, u2_dst, central, a1, a2,
+            klay, m, u1_dst, u2_dst, central, a1, a2,
             negative_slope=slope, interpret=interpret,
         )
         n_full = B * nb
         c_pad = jnp.pad(central, (0, n_full - central.shape[0]))
-        c_slot = _expand_scalar(c_pad.reshape(B, nb).astype(jnp.float32))
+        c_slot = _expand_scalar(
+            klay, c_pad.reshape(B, nb).astype(jnp.float32)
+        )
         return out.astype(u1.dtype), (alpha, c_slot)
 
     _fwd_impl = _forward_kernel if kernel_fwd else _forward
 
     @jax.custom_vjp
-    def fused(u1, u2, u1_dst, u2_dst, central, a1, a2):
-        return _fwd_impl(u1, u2, u1_dst, u2_dst, central, a1, a2)[0]
+    def fused_aux(u1, u2, u1_dst, u2_dst, central, a1, a2, aux):
+        return _fwd_impl(u1, u2, u1_dst, u2_dst, central, a1, a2, aux)[0]
 
-    def fwd(u1, u2, u1_dst, u2_dst, central, a1, a2):
+    def fwd(u1, u2, u1_dst, u2_dst, central, a1, a2, aux):
         out, (alpha, c_slot) = _fwd_impl(
-            u1, u2, u1_dst, u2_dst, central, a1, a2
+            u1, u2, u1_dst, u2_dst, central, a1, a2, aux
         )
-        return out, (u1, u2, u1_dst, u2_dst, central, a1, a2, alpha, c_slot)
+        return out, (u1, u2, u1_dst, u2_dst, central, a1, a2, alpha,
+                     c_slot, aux)
 
     def bwd(res, dout):
-        u1, u2, u1_dst, u2_dst, central, a1, a2, alpha, c_slot = res
+        (u1, u2, u1_dst, u2_dst, central, a1, a2, alpha, c_slot,
+         aux) = res
+        lay = _lay_from(aux["ld"], meta_dst)
         dch = u1.shape[-1]
         dt = u1.dtype
         if kernel_bwd:
@@ -162,21 +197,22 @@ def make_adapted_attention(
             )
 
             u_cat = jnp.concatenate([u1, u2], axis=-1)
-            m, gather_vjp = jax.vjp(ops.gather_slots, u_cat)
+            m = _gather_rows(u_cat, aux)
             dm, du1_dst, du2_dst, da1, da2 = adapted_attention_bwd_pallas(
                 lay, m, u1_dst, u2_dst, central, a1, a2, alpha, dout,
                 negative_slope=slope, interpret=interpret,
             )
-            (du_cat,) = gather_vjp(dm)
+            du_cat = _gather_rows_vjp(dm, u_cat.shape[0], aux)
             return (
                 du_cat[:, :dch].astype(dt), du_cat[:, dch:].astype(dt),
                 du1_dst.astype(dt), du2_dst.astype(dt),
                 jnp.zeros_like(central),
                 da1.astype(a1.dtype), da2.astype(a2.dtype),
+                float0_zeros(aux),
             )
         # recompute the slot tensors (one gather + one expand matmul)
         u_cat = jnp.concatenate([u1, u2], axis=-1)
-        m, gather_vjp = jax.vjp(ops.gather_slots, u_cat)
+        m = _gather_rows(u_cat, aux)
         m1, m2 = m[..., :dch], m[..., dch:]
         d = padded_dst_expand(
             lay, jnp.concatenate([u1_dst, u2_dst], axis=-1)
@@ -197,7 +233,7 @@ def make_adapted_attention(
         # softmax jacobian: dl = α·dα − α·Σ_seg(α·dα)
         t = alpha * dalpha
         seg = padded_slot_reduce(lay, t.reshape(B, Et, 1))  # [N_out, 1]
-        s_slot = _expand_scalar(_pad_blocks(seg)[..., 0])
+        s_slot = _expand_scalar(lay, _pad_blocks(seg)[..., 0])
         dlm = t - alpha * s_slot
         dl1 = dlm * c_slot
         dl2 = dlm * (1.0 - c_slot)
@@ -217,19 +253,23 @@ def make_adapted_attention(
         du_dst = padded_slot_reduce(lay, dd)
         du1_dst = du_dst[: u1_dst.shape[0], :dch].astype(dt)
         du2_dst = du_dst[: u2_dst.shape[0], dch:].astype(dt)
-        # src-side rows via the gather's own scatter-free VJP
-        (du_cat,) = gather_vjp(
-            jnp.concatenate([dm1, dm2], axis=-1)
+        # src-side rows via the gather's scatter-free transpose
+        du_cat = _gather_rows_vjp(
+            jnp.concatenate([dm1, dm2], axis=-1), u_cat.shape[0], aux
         )
         du1 = du_cat[:, :dch].astype(dt)
         du2 = du_cat[:, dch:].astype(dt)
         return (
             du1, du2, du1_dst, du2_dst,
             jnp.zeros_like(central), da1.astype(a1.dtype),
-            da2.astype(a2.dtype),
+            da2.astype(a2.dtype), float0_zeros(aux),
         )
 
-    fused.defvjp(fwd, bwd)
+    fused_aux.defvjp(fwd, bwd)
+
+    def fused(u1, u2, u1_dst, u2_dst, central, a1, a2):
+        return fused_aux(u1, u2, u1_dst, u2_dst, central, a1, a2, aux0)
+
     return fused
 
 

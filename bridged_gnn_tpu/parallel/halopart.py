@@ -418,6 +418,8 @@ class HaloView(NamedTuple):
             gather_slots = staticmethod(gather)
 
         _LocalOps.lay_dst = lay_dst
+        _LocalOps.lay_src = lay_src
+        _LocalOps.src_from_dst = self.pl["ps_from_dst"]
         return _LocalOps
 
     def fused_ops_split(self):
@@ -462,6 +464,8 @@ class HaloView(NamedTuple):
                 gather_slots = staticmethod(gather)
 
             _Ops.lay_dst = lay_dst
+            _Ops.lay_src = lay_src
+            _Ops.src_from_dst = self.pl2[f"{p_s}_from_dst"]
             return _Ops
 
         ops_l = mk("ld", self.t_ld, "ls", self.t_ls, self.b_ls, self.rows)

@@ -272,13 +272,15 @@ def _train_ktgnn_impl(data, cfg):
     is_ktgnn = not cfg.no_dtc and cfg.model_name == "KTGNN"
 
     # g and adj enter every jitted step as ARGUMENTS, never as closure
-    # captures: closure-captured graph-sized arrays are embedded into the
-    # HLO as constants and XLA constant-folds over them, which makes
-    # compile time scale with graph size (measured 128 s at 262k nodes
-    # round 2; 4x lower with argument passing — DESIGN.md §9). The
-    # blocked layouts inside adj.fast_fn remain static by design (they
-    # feed Mosaic kernel shapes); frontiers stays closed over (None in
-    # every run.sh config).
+    # captures: closure-captured graph-sized arrays are embedded into
+    # the HLO as constants and XLA constant-folds over them, which makes
+    # compile time scale with graph size. Measured on chip at 131k nodes
+    # (median-of-10 epochs; the tunneled chip stalls make means
+    # unusable): closure compile 135-278 s vs 41 s with argument
+    # passing, median epoch time equal (0.231 vs 0.242 s — DESIGN.md
+    # §9). The blocked layouts inside adj.fast_fn remain static by
+    # design (they feed Mosaic kernel shapes); frontiers stays closed
+    # over (None in every run.sh config).
     def apply_model(variables, train, g, adj, **kw):
         if is_ktgnn and frontiers is not None:
             return model.apply(variables, g, adj, train,

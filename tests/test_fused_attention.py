@@ -231,6 +231,8 @@ def test_fused_attention_custom_vjp_separate_dst(rng):
         )
 
     _Ops.lay_dst = lay_dst
+    _Ops.lay_src = lay_src
+    _Ops.src_from_dst = src_from_dst
 
     u1 = jnp.asarray(rng.normal(size=(ext, 8)).astype(np.float32))
     u2 = jnp.asarray(rng.normal(size=(ext, 8)).astype(np.float32))

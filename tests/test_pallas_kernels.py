@@ -93,3 +93,69 @@ def test_reduce_impl_dispatch(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g_want), np.asarray(g_xla), rtol=1e-4, atol=1e-4
     )
+
+
+def test_rebind_blocked_ops_traced_matches(rng):
+    """BlockedOps rebuilt from jit-ARGUMENT layout arrays
+    (blocked_ops_leaves → rebind_blocked_ops inside the jitted fn) must
+    match the host-bound ops exactly — values and gradients — including
+    through the fused attention custom VJP. This is the mechanism that
+    keeps graph-sized layout constants out of the compiled HLO at
+    capacity scale (DESIGN.md §9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bridged_gnn_tpu.ops.blocked_segment import (
+        blocked_ops_leaves,
+        make_blocked_ops,
+        rebind_blocked_ops,
+    )
+    from bridged_gnn_tpu.ops.fused_attention import adapted_attention
+
+    n, e, d = 512, 4096, 16
+    s = rng.integers(0, n, size=e).astype(np.int64)
+    r = np.sort(rng.integers(0, n, size=e)).astype(np.int64)
+    em = np.ones(e, bool)
+    ops = make_blocked_ops(s, r, em, n, node_block=128)
+    leaves = blocked_ops_leaves(ops)
+    u1 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    u2 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(e,)).astype(np.float32))
+    a1 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    central = np.arange(n) < n // 2
+    cot = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    from bridged_gnn_tpu.ops.fused_attention import (
+        make_adapted_attention,
+    )
+
+    def run(ops_, u1, u2, w):
+        att = adapted_attention(
+            ops_, u1, u2, jnp.asarray(central),
+            lambda h: (h @ a1.astype(h.dtype))[..., None],
+            lambda h: (h @ a2.astype(h.dtype))[..., None],
+        )
+        # recompute custom-VJP path too (aux-threaded layout arrays)
+        att2 = make_adapted_attention(ops_, 0.1)(
+            u1, u2, u1, u2, jnp.asarray(central, jnp.float32), a1, a2
+        )
+        return (jnp.sum(att * cot) + jnp.sum(att2 * cot)
+                + jnp.sum(ops_.spmm(u1, w)) + jnp.sum(ops_.pair_sum(u1)))
+
+    want = jax.jit(lambda u1, u2, w: run(ops, u1, u2, w))(u1, u2, w)
+    gw = jax.grad(lambda u1, u2, w: run(ops, u1, u2, w),
+                  argnums=(0, 1, 2))(u1, u2, w)
+
+    @jax.jit
+    def traced(leaves, u1, u2, w):
+        ops_t = rebind_blocked_ops(leaves, ops)
+        return run(ops_t, u1, u2, w)
+
+    got = traced(leaves, u1, u2, w)
+    gt = jax.grad(traced, argnums=(1, 2, 3))(leaves, u1, u2, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6)
+    for a, b in zip(gt, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

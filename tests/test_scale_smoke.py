@@ -17,3 +17,102 @@ def test_16k_node_training_runs():
     losses = [h["loss"] for h in res["history"]]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 1.5
+
+
+def test_remat_recompute_composition(rng):
+    """KTGNN(remat=True) composed with the recompute custom-VJP attention
+    backward — the two HBM knobs engaged together (the 524k-node capacity
+    config). Regression: make_adapted_attention used to stage a
+    closure-scope array inside the nn.remat trace; capturing it in the
+    custom-VJP backward raised UnexpectedTracerError at transposition."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bridged_gnn_tpu.graph import build_graph, with_self_loops
+    from bridged_gnn_tpu.nn.ktgnn import KTGNN
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+    from bridged_gnn_tpu.train.optim import torch_adam
+    from bridged_gnn_tpu.train.stage2 import kl_batchmean, masked_nll
+
+    n, e = 512, 4096
+    s = rng.integers(0, n, size=e).astype(np.int64)
+    r = rng.integers(0, n, size=e).astype(np.int64)
+    x = rng.normal(size=(n, 32)).astype(np.float32)
+    y = rng.integers(0, 4, size=n).astype(np.int64)
+    central = np.zeros(n, bool)
+    central[: n // 2] = True
+    train = rng.random(n) < 0.6
+    g = with_self_loops(build_graph(
+        x, np.stack([s, r]), y=y, train_mask=train, central_mask=central
+    ))
+    adj = adjacency_from_graph(g, method="blocked", node_block=128)
+    assert adj.fast_fn is not None
+    model = KTGNN(num_classes=4, layer_num=2, hidden=16,
+                  remat=True, fused_recompute_bwd=True, dropout=0.0)
+    variables = jax.jit(lambda k: model.init(k, g, adj, False))(
+        jax.random.PRNGKey(0)
+    )
+    params, bs = variables["params"], variables["batch_stats"]
+    tx = torch_adam(1e-3)
+    opt_state = tx.init(params)
+    tt = g.train_mask & ~g.central_mask
+
+    def loss_fn(p, bstats, drop, g):
+        outs, mut = model.apply(
+            {"params": p, "batch_stats": bstats}, g, adj, True,
+            rngs={"dropout": drop}, mutable=["batch_stats"],
+        )
+        lp_s, lp_t, lp_that, _ = outs
+        loss = (
+            2.0 * masked_nll(lp_s, g.y, g.train_mask)
+            + masked_nll(lp_t, g.y, tt) + masked_nll(lp_that, g.y, tt)
+        ) / 4.0 + kl_batchmean(lp_that, lp_t, g.node_mask)
+        return loss, mut["batch_stats"]
+
+    @jax.jit
+    def step(p, bstats, opt_state, key, g):
+        (loss, newbs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, bstats, key, g
+        )
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), newbs, opt_state, loss
+
+    params, bs, opt_state, loss = step(
+        params, bs, opt_state, jax.random.PRNGKey(1), g
+    )
+    assert np.isfinite(float(loss))
+
+    # grads must equal the plain (no remat, stored-residual) model's
+    plain = KTGNN(num_classes=4, layer_num=2, hidden=16, dropout=0.0)
+
+    def loss_plain(p):
+        outs, _ = plain.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            g, adj, True, rngs={"dropout": jax.random.PRNGKey(7)},
+            mutable=["batch_stats"],
+        )
+        lp_s, lp_t, lp_that, _ = outs
+        return (
+            2.0 * masked_nll(lp_s, g.y, g.train_mask)
+            + masked_nll(lp_t, g.y, tt) + masked_nll(lp_that, g.y, tt)
+        ) / 4.0 + kl_batchmean(lp_that, lp_t, g.node_mask)
+
+    def loss_rr(p):
+        outs, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            g, adj, True, rngs={"dropout": jax.random.PRNGKey(7)},
+            mutable=["batch_stats"],
+        )
+        lp_s, lp_t, lp_that, _ = outs
+        return (
+            2.0 * masked_nll(lp_s, g.y, g.train_mask)
+            + masked_nll(lp_t, g.y, tt) + masked_nll(lp_that, g.y, tt)
+        ) / 4.0 + kl_batchmean(lp_that, lp_t, g.node_mask)
+
+    g1 = jax.grad(loss_rr)(variables["params"])
+    g2 = jax.grad(loss_plain)(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -69,17 +69,48 @@ for n_nodes in _sizes:
         g, method="blocked", node_block=128 if use_kernel else 256
     )
     assert adj.fast_fn is not None, "blocked ops unavailable (skew)"
+    # BGNN_RECOMPUTE=1: memory-lean custom-VJP attention backward
+    # (recompute instead of storing slot residuals; ~19% slower) — the
+    # second HBM knob after remat
+    recompute = _os.environ.get("BGNN_RECOMPUTE") == "1"
     model = KTGNN(num_classes=8, layer_num=2, hidden=64,
-                  fused_kernel_fwd=use_kernel, fused_kernel_bwd=use_kernel,
+                  fused_kernel_fwd=use_kernel and not recompute,
+                  fused_kernel_bwd=use_kernel and not recompute,
+                  fused_recompute_bwd=recompute,
                   msg_dtype=msg_dtype,
                   # BGNN_REMAT=1: jax.checkpoint on the convs — the HBM
                   # knob for sizes whose backward residuals overflow
                   remat=_os.environ.get("BGNN_REMAT") == "1")
+    # "lay" mode: ALSO pass the blocked layout arrays as jit arguments
+    # (rebind_blocked_ops) — above ~0.5M nodes the layout constants
+    # overflow this environment's remote-compile request body (HTTP 413)
+    pass_lay = pass_mode == "lay"
+    if pass_lay:
+        from bridged_gnn_tpu.ops.blocked_segment import (
+            blocked_ops_leaves,
+            rebind_blocked_ops,
+        )
+
+        lay_leaves = blocked_ops_leaves(adj.fast_fn)
+        meta_ops = adj.fast_fn
+
+        def adj_traced(adj_in, leaves):
+            return adj_in.replace(
+                fast_fn=rebind_blocked_ops(leaves, meta_ops)
+            )
+
     # jit the init: the eager init-forward materializes every
     # intermediate and OOMs at ~524k nodes; under jit XLA frees them
-    variables = jax.jit(
-        lambda k: model.init(k, g, adj, False)
-    )(jax.random.PRNGKey(0))
+    if pass_lay:
+        variables = jax.jit(
+            lambda k, g, adj_in, leaves: model.init(
+                k, g, adj_traced(adj_in, leaves), False
+            )
+        )(jax.random.PRNGKey(0), g, adj, lay_leaves)
+    else:
+        variables = jax.jit(
+            lambda k: model.init(k, g, adj, False)
+        )(jax.random.PRNGKey(0))
     params, batch_stats = variables["params"], variables["batch_stats"]
     tx = torch_adam(1e-3, weight_decay=5e-4)
     opt_state = tx.init(params)
@@ -90,7 +121,11 @@ for n_nodes in _sizes:
     # graph-sized arrays are embedded into HLO as constants and XLA
     # constant-folds over them, so compile time scales with graph size
     # (measured: 9.2 -> 2.6 s at 32k, 20.8 -> 5.0 s at 65k on CPU)
-    pass_graph = _os.environ.get("BGNN_PASS_GRAPH") == "1"
+    # "1"/"both" = pass g and adj; "g" / "adj" = pass only that pytree
+    # (the other stays a closure constant) — for isolating compile-time
+    # vs runtime effects of constant embedding
+    pass_mode = _os.environ.get("BGNN_PASS_GRAPH", "0")
+    pass_graph = pass_mode in ("1", "both", "g", "adj", "lay")
 
     def loss_fn(params, batch_stats, drop, g=g, adj=adj):
         outs, mut = model.apply(
@@ -107,16 +142,53 @@ for n_nodes in _sizes:
         return loss, mut["batch_stats"]
 
     if pass_graph:
-        @jax.jit
-        def step(params, batch_stats, opt_state, key, g, adj):
-            (loss, bs), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params, batch_stats, key, g, adj)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), bs, opt_state,
-                    loss)
+        g_c, adj_c = g, adj
 
-        extra = (g, adj)
+        if pass_mode == "g":
+            @jax.jit
+            def step(params, batch_stats, opt_state, key, g):
+                (loss, bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch_stats, key, g, adj_c)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), bs,
+                        opt_state, loss)
+
+            extra = (g,)
+        elif pass_mode == "adj":
+            @jax.jit
+            def step(params, batch_stats, opt_state, key, adj):
+                (loss, bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch_stats, key, g_c, adj)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), bs,
+                        opt_state, loss)
+
+            extra = (adj,)
+        elif pass_mode == "lay":
+            @jax.jit
+            def step(params, batch_stats, opt_state, key, g, adj_in,
+                     leaves):
+                (loss, bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch_stats, key, g, adj_traced(adj_in, leaves))
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), bs,
+                        opt_state, loss)
+
+            extra = (g, adj, lay_leaves)
+        else:
+            @jax.jit
+            def step(params, batch_stats, opt_state, key, g, adj):
+                (loss, bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, batch_stats, key, g, adj)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), bs,
+                        opt_state, loss)
+
+            extra = (g, adj)
     else:
         @jax.jit
         def step(params, batch_stats, opt_state, key):
@@ -136,18 +208,27 @@ for n_nodes in _sizes:
     )
     jax.block_until_ready(loss)
     compile_s = time.perf_counter() - t0
+    # per-iteration timing (block each step): the tunneled chip can
+    # stall for seconds mid-loop, so the mean over a blind 10-iter loop
+    # is unstable — record the median and the per-iter spread too
     iters = 10
-    t0 = time.perf_counter()
+    per_iter = []
     for i in range(iters):
+        t0 = time.perf_counter()
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, jax.random.fold_in(key, i),
             *extra
         )
-    jax.block_until_ready(loss)
-    epoch_s = (time.perf_counter() - t0) / iters
+        jax.block_until_ready(loss)
+        per_iter.append(time.perf_counter() - t0)
+    per_iter_s = sorted(per_iter)
+    epoch_s = per_iter_s[len(per_iter_s) // 2]
     edges = int(np.asarray(g.edge_mask).sum())
     res[str(n_nodes)] = dict(
         epoch_s=round(epoch_s, 4),
+        epoch_s_mean=round(sum(per_iter) / iters, 4),
+        epoch_s_min=round(per_iter_s[0], 4),
+        epoch_s_max=round(per_iter_s[-1], 4),
         compile_s=round(compile_s, 1),
         edges=edges,
         edges_per_s=round(edges / epoch_s),
