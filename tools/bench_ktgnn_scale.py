@@ -84,7 +84,7 @@ for n_nodes in _sizes:
     # "lay" mode: ALSO pass the blocked layout arrays as jit arguments
     # (rebind_blocked_ops) — above ~0.5M nodes the layout constants
     # overflow this environment's remote-compile request body (HTTP 413)
-    pass_lay = pass_mode == "lay"
+    pass_lay = _os.environ.get("BGNN_PASS_GRAPH") == "lay"
     if pass_lay:
         from bridged_gnn_tpu.ops.blocked_segment import (
             blocked_ops_leaves,
