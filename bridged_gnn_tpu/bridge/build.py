@@ -130,12 +130,23 @@ def _topk_grid(
         a_pad = jnp.zeros(
             (rows_padded, a_rows.shape[1]), jnp.float32
         ).at[:n_rows].set(a_rows)
-        if rerank_candidates is not None:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "mlp rerank is a single-device path; unset one of "
-                    "mesh / rerank_candidates"
-                )
+        if rerank_candidates is not None and mesh is not None:
+            from bridged_gnn_tpu.parallel import sharded_pair_topk
+
+            z_pad = jnp.zeros(
+                (rows_padded, z_rows.shape[1]), jnp.float32
+            ).at[:n_rows].set(z_rows.astype(jnp.float32))
+            vals, idxs = sharded_pair_topk(
+                mesh, jnp.asarray(a_pad), jnp.asarray(b_cols),
+                n_rows, n_cols, k, mode="mlp",
+                mlp_bias1=jnp.asarray(d["bias"]),
+                mlp_w2=jnp.asarray(d["w2"]),
+                mlp_b2=jnp.asarray(np.float32(d["b2"])),
+                row_block=row_block, approx_recall=approx_recall,
+                rerank_candidates=int(rerank_candidates),
+                z_rows=z_pad, z_cols=z_cols.astype(jnp.float32),
+            )
+        elif rerank_candidates is not None:
             from bridged_gnn_tpu.ops.sddmm import (
                 blockwise_rerank_topk,
                 mlp_score_candidates,

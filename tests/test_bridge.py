@@ -264,19 +264,36 @@ def test_propose_cross_edges_rerank_full_cover_matches(model_and_vars, rng):
     assert (np.diff(sims_t, axis=1) <= 1e-6).all()
 
 
-def test_rerank_with_mesh_raises(model_and_vars, rng):
+def test_rerank_sharded_matches_exact_when_covering(model_and_vars, rng):
+    """Sharded rerank (per-shard cosine screen + exact-MLP rerank +
+    k-way merge) degenerates to the exact sharded sweep when every local
+    column is a candidate and phase-1 selection is exact."""
     from bridged_gnn_tpu.parallel import make_mesh
 
     model, variables = model_and_vars
     src_d, tar_d = _synthetic_domains(rng)
     g_src = graph_from_dict(src_d)
     g_tar = graph_from_dict(tar_d)
-    with pytest.raises(NotImplementedError, match="rerank"):
-        propose_cross_edges(
-            model, variables, g_src, None, g_tar, None, 5,
-            row_block=16, sim_mode="mlp", rerank_candidates=8,
-            mesh=make_mesh(8),
-        )
+    k = 5
+    mesh = make_mesh(8)
+    ei_e, sims_e, *_ = propose_cross_edges(
+        model, variables, g_src, None, g_tar, None, k,
+        row_block=16, sim_mode="mlp",
+    )
+    ei_r, sims_r, *_ = propose_cross_edges(
+        model, variables, g_src, None, g_tar, None, k,
+        row_block=16, sim_mode="mlp",
+        rerank_candidates=g_src.num_nodes, mesh=mesh,
+    )
+    np.testing.assert_allclose(sims_r, sims_e, rtol=1e-4, atol=1e-6)
+
+    # tight budget per shard: valid shapes, desc-sorted exact scores
+    ei_t, sims_t, *_ = propose_cross_edges(
+        model, variables, g_tar, None, g_tar, None, k,
+        row_block=16, sim_mode="mlp", rerank_candidates=5, mesh=mesh,
+    )
+    assert ei_t.shape == (2, g_tar.num_nodes * k)
+    assert (np.diff(sims_t, axis=1) <= 1e-6).all()
 
 
 def test_rerank_recall_on_shipped_ckpt(a2d_ckpt, model_and_vars, a2d_dict):
