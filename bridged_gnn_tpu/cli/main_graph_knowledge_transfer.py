@@ -60,6 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
     # operational numerics guard: finite params/loss + attention-logit
     # spread inside the block-max softmax envelope at every eval boundary
     ap.add_argument("--check_numerics", action="store_true")
+    # HBM policy: auto (default) engages remat + recompute-backward only
+    # when the estimated plain footprint exceeds ~80% of device HBM
+    ap.add_argument("--memory_policy", type=str, default="auto",
+                    choices=["auto", "plain", "lean"])
     # capture an XLA profiler trace of the whole training run into this
     # directory (TensorBoard/XProf-viewable; SURVEY §5.1)
     ap.add_argument("--profile_dir", type=str, default=None)
@@ -115,6 +119,7 @@ def main(args):
             message_dtype=args.message_dtype,
             scan_epochs=args.scan_epochs,
             check_numerics=args.check_numerics,
+            memory_policy=args.memory_policy,
         )
     if args.profile_dir:
         from bridged_gnn_tpu.utils.profiling import trace

@@ -82,6 +82,15 @@ class Stage2Config:
     # §2). Output is cast back to f32 before BN; ~1e-2 activation drift.
     # None = parity (messages keep the feature dtype)
     message_dtype: Optional[str] = None
+    # HBM policy for KTGNN-family training: 'plain' = store autodiff
+    # residuals (parity default), 'lean' = jax.checkpoint on the convs +
+    # recompute-backward attention (the measured capacity config:
+    # 590k nodes / 10M edges on one v5e — DESIGN.md §9), 'auto' =
+    # estimate the plain footprint from the slot-layout dims (calibrated
+    # on the measured OOM ladder) and engage lean only when it exceeds
+    # ~80% of the device HBM — identical to plain on every graph that
+    # fits plainly
+    memory_policy: str = "auto"
     # operational numerics guard (SURVEY §5.2): at every eval boundary,
     # assert params/loss finite (utils/sanitizers.assert_all_finite) and
     # — on KTGNN-family fused layouts — assert the per-dst-block
@@ -175,7 +184,52 @@ def prepare_stage2_graph(
     return g, adj
 
 
-def build_model(cfg: Stage2Config, num_classes: int):
+def estimate_plain_hbm(g: Graph, adj, cfg: Stage2Config) -> int:
+    """Estimated peak HBM bytes of the PLAIN (stored-residual) KT-GNN
+    train step. Dominant term: ~7.5 live copies of the widest conv's
+    [slots, 2*hidden] message-space tensors (autodiff residuals +
+    backward temporaries), plus features/activations and the slot
+    layouts. Calibrated against the measured ladder
+    (results_ktgnn_scale_r3.json): predicts 20.6G at 524k nodes/8.9M
+    edges where XLA reported 20.65G."""
+    if adj.fast_fn is None:
+        return 0
+    lay = adj.fast_fn.lay_dst
+    slots = lay.num_blocks * lay.tile_e
+    msg_item = 2 if cfg.message_dtype == "bfloat16" else 4
+    d_in = g.x.shape[1]
+    return int(
+        7.5 * slots * 2 * cfg.hidden * msg_item     # bwd message space
+        + 4 * g.num_nodes_padded * d_in * 4         # features/activations
+        + 7 * slots * 4                             # 2 layouts, int arrays
+    )
+
+
+def _device_hbm_limit() -> int:
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:  # noqa: BLE001 — backends without memory_stats
+        pass
+    return 16 * 2**30
+
+
+def resolve_memory_policy(g: Graph, adj, cfg: Stage2Config) -> bool:
+    """True = lean (remat + recompute-backward attention)."""
+    if cfg.memory_policy == "lean":
+        return True
+    if cfg.memory_policy == "plain":
+        return False
+    if cfg.memory_policy != "auto":
+        raise ValueError(f"memory_policy: {cfg.memory_policy!r}")
+    if jax.default_backend() != "tpu":
+        return False  # host backends page; the estimate is TPU-specific
+    return estimate_plain_hbm(g, adj, cfg) > 0.8 * _device_hbm_limit()
+
+
+def build_model(cfg: Stage2Config, num_classes: int, lean: bool = False):
     # reference --no_dtc recipe trains a plain single-head model
     # (GraphSAGE in the run.sh configs); KTGNN_noDTC is the single-head
     # KT-GNN selected when the model name says so
@@ -193,6 +247,14 @@ def build_model(cfg: Stage2Config, num_classes: int):
             msg_dtype=cfg.message_dtype,
         )
     if cfg.model_name == "KTGNN" and not cfg.no_dtc:
+        lean_kw = {}
+        if lean:
+            # the measured capacity config: remat + recompute-backward,
+            # Mosaic kernels off (the kernel backward stores the
+            # [B,Et,2D] residuals that recompute exists to avoid —
+            # 35.6G vs 19.0G at 1M nodes, results_ktgnn_scale_r3.json)
+            lean_kw = dict(remat=True, fused_recompute_bwd=True,
+                           fused_kernel_fwd=False, fused_kernel_bwd=False)
         return KTGNN(
             num_classes=num_classes,
             layer_num=cfg.num_layer,
@@ -205,6 +267,7 @@ def build_model(cfg: Stage2Config, num_classes: int):
             step=cfg.complement_step,
             use_dist_loss=cfg.use_dist_loss,
             msg_dtype=cfg.message_dtype,
+            **lean_kw,
         )
     from bridged_gnn_tpu.nn import backbones
 
@@ -233,7 +296,16 @@ def train_ktgnn(
 def _train_ktgnn_impl(data, cfg):
     g, adj = prepare_stage2_graph(data, cfg)
     num_classes = int(np.asarray(g.y).max()) + 1
-    model = build_model(cfg, num_classes)
+    lean = (
+        resolve_memory_policy(g, adj, cfg)
+        if cfg.model_name == "KTGNN" and not cfg.no_dtc
+        else False
+    )
+    if lean and cfg.log_every:
+        print("[memory_policy] lean engaged: remat + recompute-backward "
+              f"(est plain {estimate_plain_hbm(g, adj, cfg) / 2**30:.1f} "
+              "GiB)")
+    model = build_model(cfg, num_classes, lean=lean)
 
     frontiers = None
     if cfg.need_complement:
