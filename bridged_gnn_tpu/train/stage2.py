@@ -91,6 +91,13 @@ class Stage2Config:
     # ~80% of the device HBM — identical to plain on every graph that
     # fits plainly
     memory_policy: str = "auto"
+    # pass the blocked slot-layout arrays through jit as ARGUMENTS
+    # (ops/blocked_segment.rebind_blocked_ops) instead of HLO constants:
+    # compile time stops scaling with graph size (10.1 s vs 135-278 s at
+    # 131k nodes; DESIGN.md §9) and the compiled module stays small.
+    # 'auto' = engage when the layouts exceed ~1M slots (small/parity
+    # graphs keep the constant form); True/False force
+    pass_layouts: "str | bool" = "auto"
     # operational numerics guard (SURVEY §5.2): at every eval boundary,
     # assert params/loss finite (utils/sanitizers.assert_all_finite) and
     # — on KTGNN-family fused layouts — assert the per-dst-block
@@ -216,6 +223,17 @@ def _device_hbm_limit() -> int:
     return 16 * 2**30
 
 
+def resolve_pass_layouts(adj, cfg: Stage2Config) -> bool:
+    if adj.fast_fn is None:
+        return False
+    if cfg.pass_layouts is True or cfg.pass_layouts is False:
+        return cfg.pass_layouts
+    if cfg.pass_layouts != "auto":
+        raise ValueError(f"pass_layouts: {cfg.pass_layouts!r}")
+    lay = adj.fast_fn.lay_dst
+    return lay.num_blocks * lay.tile_e > 2**20
+
+
 def resolve_memory_policy(g: Graph, adj, cfg: Stage2Config) -> bool:
     """True = lean (remat + recompute-backward attention)."""
     if cfg.memory_policy == "lean":
@@ -307,6 +325,28 @@ def _train_ktgnn_impl(data, cfg):
               "GiB)")
     model = build_model(cfg, num_classes, lean=lean)
 
+    # layout argument-passing (compile hygiene; DESIGN.md §9): when
+    # engaged, the slot-layout arrays enter every jitted step as the
+    # `lay_leaves` argument and the ops are re-bound inside the trace
+    if resolve_pass_layouts(adj, cfg):
+        from bridged_gnn_tpu.ops.blocked_segment import (
+            blocked_ops_leaves,
+            rebind_blocked_ops,
+        )
+
+        lay_leaves = blocked_ops_leaves(adj.fast_fn)
+        _meta_ops = adj.fast_fn
+
+        def materialize_adj(adj_in, leaves):
+            return adj_in.replace(
+                fast_fn=rebind_blocked_ops(leaves, _meta_ops)
+            )
+    else:
+        lay_leaves = None
+
+        def materialize_adj(adj_in, leaves):
+            return adj_in
+
     frontiers = None
     if cfg.need_complement:
         from bridged_gnn_tpu.nn.complementor import (
@@ -391,7 +431,9 @@ def _train_ktgnn_impl(data, cfg):
         return loss, (aux, mutated["batch_stats"])
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, dropout_rng, g, adj):
+    def train_step(params, batch_stats, opt_state, dropout_rng, g, adj,
+                   leaves):
+        adj = materialize_adj(adj, leaves)
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, batch_stats, dropout_rng, g, adj)
@@ -400,7 +442,8 @@ def _train_ktgnn_impl(data, cfg):
         return params, new_bs, opt_state, loss, aux
 
     @jax.jit
-    def eval_step(params, batch_stats, g, adj):
+    def eval_step(params, batch_stats, g, adj, leaves):
+        adj = materialize_adj(adj, leaves)
         outs = apply_model(
             {"params": params, "batch_stats": batch_stats}, False, g, adj
         )
@@ -473,14 +516,16 @@ def _train_ktgnn_impl(data, cfg):
     def scan_chunk(params, batch_stats, opt_state, rng, length):
         """Run `length` epochs in one device dispatch (lax.scan)."""
         if length not in _scan_cache:
-            _scan_cache[length] = jax.jit(
-                lambda c, g, adj: jax.lax.scan(
+            def _run(c, g, adj, leaves):
+                adj = materialize_adj(adj, leaves)
+                return jax.lax.scan(
                     lambda carry, x: _epoch_body(carry, x, g, adj),
                     c, None, length=length,
                 )
-            )
+
+            _scan_cache[length] = jax.jit(_run)
         return _scan_cache[length](
-            (params, batch_stats, opt_state, rng), g, adj
+            (params, batch_stats, opt_state, rng), g, adj, lay_leaves
         )
 
     y_np = np.asarray(g.y)
@@ -492,7 +537,8 @@ def _train_ktgnn_impl(data, cfg):
 
     def evaluate(params, batch_stats):
         pred_s, pred_t, pred_that, lp_s, lp_t, lp_that = (
-            np.asarray(a) for a in eval_step(params, batch_stats, g, adj)
+            np.asarray(a)
+            for a in eval_step(params, batch_stats, g, adj, lay_leaves)
         )
 
         def probs_pos(lp, mask):
@@ -538,7 +584,8 @@ def _train_ktgnn_impl(data, cfg):
         dbg_model = model.clone(debug_spread=True, fused_recompute_bwd=True)
 
         @jax.jit
-        def spread_fn(params, batch_stats, g, adj):
+        def spread_fn(params, batch_stats, g, adj, leaves):
+            adj = materialize_adj(adj, leaves)
             _, diag = dbg_model.apply(
                 {"params": params, "batch_stats": batch_stats},
                 g, adj, False, mutable=["diagnostics"],
@@ -559,7 +606,7 @@ def _train_ktgnn_impl(data, cfg):
             f"train state at epoch {epoch}",
         )
         if spread_fn is not None:
-            sp = float(spread_fn(params, batch_stats, g, adj))
+            sp = float(spread_fn(params, batch_stats, g, adj, lay_leaves))
             numerics_state["max_spread"] = max(
                 numerics_state["max_spread"], sp
             )
@@ -692,7 +739,8 @@ def _train_ktgnn_impl(data, cfg):
         with timer:
             rng, drop_rng = jax.random.split(rng)
             params, batch_stats, opt_state, loss, aux = train_step(
-                params, batch_stats, opt_state, drop_rng, g, adj
+                params, batch_stats, opt_state, drop_rng, g, adj,
+                lay_leaves
             )
             loss_t2 = float(aux["loss_t2"])
             numerics_check(params, batch_stats, float(loss), epoch)

@@ -193,3 +193,42 @@ def test_lean_policy_trains(rng):
     )
     losses = [h["loss"] for h in res["history"]]
     assert np.isfinite(losses).all()
+
+
+def test_pass_layouts_trains_identically(rng):
+    """pass_layouts=True (slot layouts as jit arguments) must reproduce
+    the constant-layout run exactly — same losses, same history — since
+    it only changes WHERE the arrays live, not the math."""
+    from bridged_gnn_tpu.data.synthetic import make_benchmark_graph
+    from bridged_gnn_tpu.train.stage2 import Stage2Config, train_ktgnn
+
+    d = make_benchmark_graph(n=1024, avg_degree=8, dim=32, num_classes=4)
+    common = dict(num_epoch=3, hidden=16, use_scheduler=False,
+                  adjacency_method="blocked", memory_policy="plain")
+    res_c = train_ktgnn(d, Stage2Config(pass_layouts=False, **common))
+    res_a = train_ktgnn(d, Stage2Config(pass_layouts=True, **common))
+    for hc, ha in zip(res_c["history"], res_a["history"]):
+        np.testing.assert_allclose(hc["loss"], ha["loss"], rtol=1e-6)
+        assert hc["test"] == ha["test"]
+
+
+def test_pass_layouts_auto_threshold(rng):
+    from bridged_gnn_tpu.graph import build_graph
+    from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+    from bridged_gnn_tpu.train.stage2 import (
+        Stage2Config,
+        resolve_pass_layouts,
+    )
+
+    n, e = 1024, 8192
+    s = rng.integers(0, n, size=e).astype(np.int64)
+    r = rng.integers(0, n, size=e).astype(np.int64)
+    g = build_graph(rng.normal(size=(n, 8)).astype(np.float32),
+                    np.stack([s, r]))
+    adj = adjacency_from_graph(g, method="blocked", node_block=128)
+    # tiny layouts stay constants under auto; booleans force
+    assert resolve_pass_layouts(adj, Stage2Config()) is False
+    assert resolve_pass_layouts(
+        adj, Stage2Config(pass_layouts=True)) is True
+    adj_g = adjacency_from_graph(g, method="gather")
+    assert resolve_pass_layouts(adj_g, Stage2Config()) is False
