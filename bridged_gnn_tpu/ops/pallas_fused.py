@@ -57,23 +57,46 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 SOFTMAX_SPREAD_LIMIT = 60.0
 
 
+# Measured FORWARD-kernel envelope (tools/probe_bwd_vmem.json +
+# probe_bwd_vmem3.json, on-chip): last tile_e whose fwd kernel compiles
+# AND matches, keyed (node_block, is_bf16, dch). The next ladder rung up
+# crashes the compile helper with a scoped-VMEM OOM. Small dch is bounded
+# by the f32 one-hot scratch — dch 8/16/32/64 all break at the SAME
+# Et=5120 (slot-count limit), which the round-2 msg-space formula missed
+# (a 35k bridged graph with Et=9216 / dch=8 clf convs crashed in
+# production before this table existed).
+_FWD_MAX_ET = {
+    (128, True, 8): 4352, (128, True, 16): 4352, (128, True, 32): 4352,
+    (128, True, 64): 4352, (128, True, 128): 5120, (128, True, 256): 3584,
+    (128, False, 64): 4352, (128, False, 128): 5120,
+    (128, False, 256): 4352,
+    (256, True, 128): 3584, (256, False, 128): 3584,
+}
+
+# measured max slot count (nb*Et) per node_block — the one-hot bound
+_FWD_SLOT_CAP = {128: 128 * 4352, 256: 256 * 3584}
+
+
+def _fwd_et_limit(node_block: int, dch: int, itemsize: int) -> int:
+    key = (node_block, itemsize == 2, dch)
+    if key in _FWD_MAX_ET:
+        return _FWD_MAX_ET[key]
+    # unprobed combos: the measured per-nb slot cap (derated 15%)
+    # combined with the round-2 msg-space working-set estimate
+    cap = _FWD_SLOT_CAP.get(node_block, _FWD_SLOT_CAP[128])
+    slot_lim = int(0.85 * cap / node_block)
+    per_et = 3.5 * node_block * itemsize + 4 * dch * itemsize + 16 * dch
+    return min(slot_lim, int(_VMEM_BUDGET / per_et))
+
+
 def fits_vmem(
     tile_e: int, node_block: int, dch: int, itemsize: int = 4,
-    budget: int = _VMEM_BUDGET,
 ) -> bool:
-    """Working-set estimate for one grid step, fit to the measured
-    envelope above: the [nb, Et] one-hot scratch is read by dot_generals
-    in both contraction orientations (~3.5 copies live), the msg block is
-    double-buffered, and z/h temps are [Et, 2D] f32.  ``itemsize`` is the
-    msg dtype's (2 for bf16, 4 for f32 — f32 halves the admissible Et).
-    Pass a smaller ``budget`` to gate the backward kernel (larger live
-    set, no measured failure point yet)."""
-    est = (
-        3.5 * node_block * tile_e * itemsize
-        + 4 * tile_e * dch * itemsize
-        + 16 * tile_e * dch
-    )
-    return est <= budget
+    """Forward-kernel gate from the MEASURED envelope (probed boundaries
+    above; the next rung past each admitted tile_e crashes the remote
+    compile helper). ``itemsize`` is the msg dtype's (2 bf16 / 4 f32).
+    Over-envelope layouts run the XLA fused path."""
+    return tile_e <= _fwd_et_limit(node_block, dch, itemsize)
 
 
 # Measured backward-kernel envelope (tools/probe_bwd_vmem.json +

@@ -369,3 +369,19 @@ def test_fits_vmem_bwd_measured_envelope():
         key128 = _BWD_MAX_ET[(128, item == 2, 128)]
         key256 = _BWD_MAX_ET[(128, item == 2, 256)]
         assert key256 <= _bwd_et_limit(128, 192, item) <= key128
+
+
+def test_fits_vmem_fwd_small_dch_boundary():
+    """Small-dch forward boundary (tools/probe_bwd_vmem3.json): dch 8-64
+    all admit Et=4352 and reject 5120 (f32 one-hot slot-count bound).
+    Pins the production crash case: nb=128 / Et=9216 / dch=8 (the clf
+    convs of a skew-heavy 35k bridged graph) must be REJECTED — the
+    round-2 formula admitted it and the run died with a 36.75M scoped
+    VMEM OOM."""
+    from bridged_gnn_tpu.ops.pallas_fused import fits_vmem
+
+    for d in (8, 16, 32, 64):
+        assert fits_vmem(4352, 128, d, itemsize=2)
+        assert not fits_vmem(5120, 128, d, itemsize=2)
+    assert not fits_vmem(9216, 128, 8, itemsize=2)   # the crash case
+    assert fits_vmem(5120, 128, 128, itemsize=2)     # measured good

@@ -9,7 +9,8 @@ the Mosaic attention kernels on the TPU backend
 (ops/pallas_fused.auto_kernel).
 
 Phases timed separately: stage-1 train, bridge construction (propose +
-filters + merge), stage-2 train. Writes results_large_pipeline_tpu_r2.json.
+filters + merge), stage-2 train. Writes results_large_pipeline_tpu_r3.json
+(at full scale; _smoke.json on reduced sizes).
 
 Usage: nohup python tools/bench_pipeline_scale.py > log 2>&1 &
 """
