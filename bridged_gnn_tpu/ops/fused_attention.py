@@ -510,3 +510,49 @@ def adapted_attention(
     w2 = jnp.where(is_c, 0.0, alpha).astype(u1.dtype)
     out = padded_slot_reduce(lay, m1, w1) + padded_slot_reduce(lay, m2, w2)
     return out.astype(u1.dtype)
+
+
+def adapted_attention_tiered(
+    tops,
+    u1: jax.Array,            # [N_in, D] messages when dst is central
+    u2: jax.Array,            # [N_in, D] messages when dst is target
+    central: jax.Array,       # [N_out] bool destination-domain flag
+    logit_fn1: Callable,
+    logit_fn2: Callable,
+    negative_slope: float = 0.1,
+) -> jax.Array:
+    """:func:`adapted_attention` over degree-tiered dst-block layouts
+    (ops/blocked_segment.py::TieredOps) — the skew answer for the fused
+    conv. Each tier computes the full attention pass for ITS destination
+    blocks with a tile_e sized to that tier (total slots ≲2× real edges
+    instead of blocks×max-degree); every destination lives in exactly
+    one tier, so the tier outputs are disjoint row ranges and ONE row
+    permutation reassembles global order. Exact per-destination softmax
+    — identical math to the single layout, different padding only.
+    Autodiff stays scatter-free (tier gathers carry custom VJPs; the
+    reassembly permutation has a permutation-aware VJP)."""
+    from bridged_gnn_tpu.ops.blocked_segment import permute_rows
+
+    nb = tops.node_block
+    n_full = tops.row_order.shape[0]
+    c_pad = jnp.pad(central, (0, n_full - central.shape[0]))
+    u1_full = jnp.pad(u1, ((0, max(n_full - u1.shape[0], 0)), (0, 0)))
+    u2_full = jnp.pad(u2, ((0, max(n_full - u2.shape[0], 0)), (0, 0)))
+    # ONE permutation into tier-concat order; per-tier dst rows are then
+    # contiguous slices (their autodiff transpose is a pad, not a
+    # scatter) and the output permutes back with the inverse
+    u1_p = permute_rows(u1_full, tops.row_order, tops.inv_order)
+    u2_p = permute_rows(u2_full, tops.row_order, tops.inv_order)
+    c_p = c_pad[tops.row_order]
+    outs = []
+    for ops_t, (b0, b1) in zip(tops.tiers, tops.tier_spans):
+        sl = slice(b0 * nb, b1 * nb)
+        out_t = adapted_attention(
+            ops_t, u1, u2, c_p[sl], logit_fn1, logit_fn2,
+            negative_slope,
+            u1_dst=u1_p[sl], u2_dst=u2_p[sl],
+        )
+        outs.append(out_t)
+    cat = jnp.concatenate(outs, axis=0)              # tier-concat order
+    out = permute_rows(cat, tops.inv_order, tops.row_order)
+    return out[: central.shape[0]]

@@ -279,3 +279,68 @@ def test_fused_attention_custom_vjp_separate_dst(rng):
             np.asarray(gg), np.asarray(gw), rtol=1e-4, atol=1e-5,
             err_msg=f"separate-dst grad mismatch: {name}",
         )
+
+
+def test_tiered_attention_matches_single_layout(rng):
+    """Degree-tiered layouts (skew answer): same per-destination softmax
+    math as the single layout — values and gradients — on a graph with a
+    heavy-hub degree distribution, while using far fewer slots."""
+    import jax
+    import jax.numpy as jnp
+
+    from bridged_gnn_tpu.ops.blocked_segment import (
+        make_blocked_ops,
+        make_tiered_blocked_ops,
+    )
+    from bridged_gnn_tpu.ops.fused_attention import (
+        adapted_attention,
+        adapted_attention_tiered,
+    )
+
+    n, d = 1024, 16
+    # hub skew: a few destinations get most edges
+    hubs = rng.integers(0, n, size=8)
+    r = np.concatenate([
+        rng.integers(0, n, size=2048),
+        np.repeat(hubs, 400),
+    ])
+    s = rng.integers(0, n, size=len(r))
+    order = np.argsort(r, kind="stable")
+    s, r = s[order].astype(np.int64), r[order].astype(np.int64)
+    em = np.ones(len(r), bool)
+
+    ops = make_blocked_ops(s, r, em, n, node_block=128)
+    tops = make_tiered_blocked_ops(s, r, em, n, node_block=128)
+    assert len(tops.tiers) >= 2
+    assert tops.slots_tiered < 0.6 * tops.slots_single
+
+    u1 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    u2 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    a1 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    central = jnp.asarray(np.arange(n) < n // 2)
+    cot = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    def f_single(u1, u2, a1, a2):
+        return jnp.sum(adapted_attention(
+            ops, u1, u2, central,
+            lambda h: (h @ a1)[..., None],
+            lambda h: (h @ a2)[..., None],
+        ) * cot)
+
+    def f_tiered(u1, u2, a1, a2):
+        return jnp.sum(adapted_attention_tiered(
+            tops, u1, u2, central,
+            lambda h: (h @ a1)[..., None],
+            lambda h: (h @ a2)[..., None],
+        ) * cot)
+
+    v_s = jax.jit(f_single)(u1, u2, a1, a2)
+    v_t = jax.jit(f_tiered)(u1, u2, a1, a2)
+    np.testing.assert_allclose(np.asarray(v_t), np.asarray(v_s),
+                               rtol=1e-5)
+    g_s = jax.grad(f_single, argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    g_t = jax.grad(f_tiered, argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+    for a, b in zip(g_t, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
