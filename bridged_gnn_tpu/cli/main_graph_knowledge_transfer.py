@@ -67,6 +67,18 @@ def build_argparser() -> argparse.ArgumentParser:
     # capture an XLA profiler trace of the whole training run into this
     # directory (TensorBoard/XProf-viewable; SURVEY §5.1)
     ap.add_argument("--profile_dir", type=str, default=None)
+    # multi-device training: run the SAME runtime loop (eval heads,
+    # best-by-loss_clf_t2, scan, checkpoints) over an n-device mesh
+    # (parallel/stage2_runtime.py). KTGNN only; 1 = single device.
+    # CPU testing: XLA_FLAGS=--xla_force_host_platform_device_count=N
+    ap.add_argument("--n_shards", type=int, default=1)
+    # 'halo' = row partition + boundary all_to_all (wire ∝ edge cut);
+    # 'edgeshard' = 1-D edge partition with full-array psums
+    ap.add_argument("--shard_layout", type=str, default="halo",
+                    choices=["halo", "edgeshard"])
+    # halo only: overlap the boundary all_to_all with the local
+    # attention pipeline (split slot layouts + streaming-softmax combine)
+    ap.add_argument("--halo_overlap", action="store_true", default=False)
     return ap
 
 
@@ -120,6 +132,9 @@ def main(args):
             scan_epochs=args.scan_epochs,
             check_numerics=args.check_numerics,
             memory_policy=args.memory_policy,
+            n_shards=args.n_shards,
+            shard_layout=args.shard_layout,
+            halo_overlap=args.halo_overlap,
         )
     if args.profile_dir:
         from bridged_gnn_tpu.utils.profiling import trace

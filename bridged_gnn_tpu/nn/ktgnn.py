@@ -205,6 +205,59 @@ class AdaptedConv(nn.Module):
                 )(x)
             return out
 
+        # --- degree-tiered fused path (VERDICT r3 item 3): skew-heavy
+        # graphs (real bridged graphs concentrate top-k proposals on
+        # popular sources) get per-tier slot layouts instead of the
+        # former XLA-gather fallback; Mosaic kernels engage per tier
+        # where the tier's Et fits the measured VMEM envelope
+        tiered_ok = (
+            self.use_fused
+            and self.axis_name is None
+            and getattr(adj, "tiered_fn", None) is not None
+            and not (self.aggregate_dense and adj.use_dense)
+        )
+        if tiered_ok:
+            from bridged_gnn_tpu.ops import pallas_fused
+            from bridged_gnn_tpu.ops.fused_attention import (
+                adapted_attention_tiered,
+            )
+
+            kernel_fwd = (
+                pallas_fused.auto_kernel()
+                if self.fused_kernel_fwd is None
+                else self.fused_kernel_fwd
+            )
+            kernel_bwd = (
+                pallas_fused.auto_kernel()
+                if self.fused_kernel_bwd is None
+                else self.fused_kernel_bwd
+            )
+            if kernel_fwd or self.fused_recompute_bwd:
+                from bridged_gnn_tpu.nn.common import ParamKernel
+
+                a1 = ParamKernel(self.out_channels, name="a_f_t2s")()[:, 0]
+                a2 = ParamKernel(self.out_channels, name="a_f_s2t")()[:, 0]
+                out = adapted_attention_tiered(
+                    adj.tiered_fn, u_t2s, u_s2t, central_mask,
+                    negative_slope=self.negative_slope,
+                    a1=a1, a2=a2,
+                    kernel_fwd=kernel_fwd, kernel_bwd=kernel_bwd,
+                    interpret=pallas_fused.default_interpret(),
+                )
+            else:
+                out = adapted_attention_tiered(
+                    adj.tiered_fn, u_t2s, u_s2t, central_mask,
+                    torch_dense(1, use_bias=False, name="a_f_t2s"),
+                    torch_dense(1, use_bias=False, name="a_f_s2t"),
+                    negative_slope=self.negative_slope,
+                )
+            out = out.astype(x.dtype)
+            if self.root_weight:
+                out = out + torch_dense(
+                    self.out_channels, use_bias=False, name="lin_r"
+                )(x)
+            return out
+
         # --- GATv2 attention per edge, branch chosen by destination domain
         s, r, em = adj.senders, adj.receivers, adj.edge_mask
         dst_central = central_mask[r]

@@ -517,9 +517,14 @@ def adapted_attention_tiered(
     u1: jax.Array,            # [N_in, D] messages when dst is central
     u2: jax.Array,            # [N_in, D] messages when dst is target
     central: jax.Array,       # [N_out] bool destination-domain flag
-    logit_fn1: Callable,
-    logit_fn2: Callable,
+    logit_fn1: Callable = None,
+    logit_fn2: Callable = None,
     negative_slope: float = 0.1,
+    a1: jax.Array = None,     # raw [D] projection vectors (kernel mode)
+    a2: jax.Array = None,
+    kernel_fwd: bool = False,
+    kernel_bwd: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """:func:`adapted_attention` over degree-tiered dst-block layouts
     (ops/blocked_segment.py::TieredOps) — the skew answer for the fused
@@ -530,7 +535,20 @@ def adapted_attention_tiered(
     permutation reassembles global order. Exact per-destination softmax
     — identical math to the single layout, different padding only.
     Autodiff stays scatter-free (tier gathers carry custom VJPs; the
-    reassembly permutation has a permutation-aware VJP)."""
+    reassembly permutation has a permutation-aware VJP).
+
+    Two parameter forms, mirroring AdaptedConv's branches:
+
+    * ``logit_fn1``/``logit_fn2`` (flax modules) — the XLA autodiff path.
+    * ``a1``/``a2`` raw vectors with ``kernel_fwd=True`` — the Mosaic
+      single-kernel path, **VMEM-gated per tier**: a tier whose tile_e
+      fits the measured kernel envelope (ops/pallas_fused.fits_vmem —
+      typically the many light tiers) runs the kernel; a tier that
+      doesn't (the heavy-skew head tier) runs the custom-VJP XLA form
+      with the same a-vectors. This is exactly why tiers exist: one
+      Et=9216 block no longer forces the WHOLE graph off the kernel
+      (the r3 production crash pinned in tests/test_pallas_fused.py).
+    """
     from bridged_gnn_tpu.ops.blocked_segment import permute_rows
 
     nb = tops.node_block
@@ -547,11 +565,33 @@ def adapted_attention_tiered(
     outs = []
     for ops_t, (b0, b1) in zip(tops.tiers, tops.tier_spans):
         sl = slice(b0 * nb, b1 * nb)
-        out_t = adapted_attention(
-            ops_t, u1, u2, c_p[sl], logit_fn1, logit_fn2,
-            negative_slope,
-            u1_dst=u1_p[sl], u2_dst=u2_p[sl],
-        )
+        if a1 is not None:
+            from bridged_gnn_tpu.ops import pallas_fused
+
+            lay = ops_t.lay_dst
+            isz = 2 if u1.dtype == jnp.bfloat16 else 4
+            dch = u1.shape[-1]
+            k_ok = kernel_fwd and pallas_fused.fits_vmem(
+                lay.tile_e, nb, dch, itemsize=isz
+            )
+            fn = make_adapted_attention(
+                ops_t, negative_slope,
+                kernel_fwd=k_ok,
+                kernel_bwd=k_ok and kernel_bwd and
+                pallas_fused.fits_vmem_bwd(lay.tile_e, nb, dch,
+                                           itemsize=isz),
+                interpret=interpret,
+            )
+            out_t = fn(
+                u1, u2, u1_p[sl], u2_p[sl],
+                c_p[sl].astype(jnp.float32), a1, a2,
+            )
+        else:
+            out_t = adapted_attention(
+                ops_t, u1, u2, c_p[sl], logit_fn1, logit_fn2,
+                negative_slope,
+                u1_dst=u1_p[sl], u2_dst=u2_p[sl],
+            )
         outs.append(out_t)
     cat = jnp.concatenate(outs, axis=0)              # tier-concat order
     out = permute_rows(cat, tops.inv_order, tops.row_order)

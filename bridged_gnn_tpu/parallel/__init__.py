@@ -10,3 +10,8 @@ from bridged_gnn_tpu.parallel.halopart import (  # noqa: F401
     make_halo_ktgnn_train_step,
     wire_bytes_per_layer,
 )
+from bridged_gnn_tpu.parallel.stage2_runtime import (  # noqa: F401
+    EdgeShardStage2Backend,
+    HaloStage2Backend,
+    make_stage2_backend,
+)

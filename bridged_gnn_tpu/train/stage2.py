@@ -105,6 +105,21 @@ class Stage2Config:
     # softmax envelope (silent exp-underflow otherwise; see
     # ops/pallas_fused docstring). CLI: --check_numerics
     check_numerics: bool = False
+    # multi-device training (SURVEY §2c / §7.1-6): >1 runs the SAME
+    # runtime loop (eval heads, best-by-loss_clf_t2, scan, checkpoints,
+    # memory policy) over an n_shards-device mesh via
+    # parallel/stage2_runtime.py; 1 (default) is the degenerate
+    # single-device case of the same code path. KTGNN only.
+    n_shards: int = 1
+    # 'halo' (production: row partition + boundary all_to_all, wire
+    # bytes ∝ edge cut) or 'edgeshard' (1-D edge partition, full-array
+    # psums — no partition build cost)
+    shard_layout: str = "halo"
+    # halo layout only: split local/halo slot layouts so the boundary
+    # all_to_all overlaps the local attention pipeline
+    # (ops/fused_attention.adapted_attention_overlap). Numerically equal
+    # up to fp reduction order (not bit-identical) to overlap=False
+    halo_overlap: bool = False
 
 
 def masked_nll(log_probs: jax.Array, y: jax.Array, mask: jax.Array,
@@ -161,8 +176,8 @@ SELF_LOOP_MODELS = frozenset(
 
 
 def prepare_stage2_graph(
-    data: Dict[str, np.ndarray], cfg: Stage2Config
-) -> tuple[Graph, Adjacency]:
+    data: Dict[str, np.ndarray], cfg: Stage2Config, build_adj: bool = True
+) -> tuple[Graph, Optional[Adjacency]]:
     data = dict(data)
     # reference quirk kept: unlabeled nodes can never be train
     # (main_graph_knowledge_transfer.py:404)
@@ -185,6 +200,10 @@ def prepare_stage2_graph(
     node_block = (
         128 if (kernel_capable and pallas_fused.auto_kernel()) else 256
     )
+    if not build_adj:
+        # sharded backends build their own per-shard layouts
+        # (parallel/stage2_runtime.py); skip the O(E) host layout build
+        return g, None
     adj = adjacency_from_graph(
         g, method=cfg.adjacency_method, node_block=node_block
     )
@@ -199,10 +218,13 @@ def estimate_plain_hbm(g: Graph, adj, cfg: Stage2Config) -> int:
     layouts. Calibrated against the measured ladder
     (results_ktgnn_scale_r3.json): predicts 20.6G at 524k nodes/8.9M
     edges where XLA reported 20.65G."""
-    if adj.fast_fn is None:
+    if adj.fast_fn is not None:
+        lay = adj.fast_fn.lay_dst
+        slots = lay.num_blocks * lay.tile_e
+    elif getattr(adj, "tiered_fn", None) is not None:
+        slots = adj.tiered_fn.slots_tiered
+    else:
         return 0
-    lay = adj.fast_fn.lay_dst
-    slots = lay.num_blocks * lay.tile_e
     msg_item = 2 if cfg.message_dtype == "bfloat16" else 4
     d_in = g.x.shape[1]
     return int(
@@ -234,6 +256,23 @@ def resolve_pass_layouts(adj, cfg: Stage2Config) -> bool:
     return lay.num_blocks * lay.tile_e > 2**20
 
 
+def resolve_memory_policy_sharded(part, g: Graph, cfg: Stage2Config,
+                                  estimator) -> bool:
+    """Halo-layout lean/plain decision from the PER-SHARD footprint
+    (parallel/stage2_runtime.estimate_plain_hbm_per_shard): the whole
+    point of the row partition is that the residual-dominated footprint
+    shrinks ~1/n_shards, so auto re-decides after partitioning."""
+    if cfg.memory_policy == "lean":
+        return True
+    if cfg.memory_policy == "plain":
+        return False
+    if cfg.memory_policy != "auto":
+        raise ValueError(f"memory_policy: {cfg.memory_policy!r}")
+    if jax.default_backend() != "tpu":
+        return False
+    return estimator(part, g, cfg) > 0.8 * _device_hbm_limit()
+
+
 def resolve_memory_policy(g: Graph, adj, cfg: Stage2Config) -> bool:
     """True = lean (remat + recompute-backward attention)."""
     if cfg.memory_policy == "lean":
@@ -247,7 +286,8 @@ def resolve_memory_policy(g: Graph, adj, cfg: Stage2Config) -> bool:
     return estimate_plain_hbm(g, adj, cfg) > 0.8 * _device_hbm_limit()
 
 
-def build_model(cfg: Stage2Config, num_classes: int, lean: bool = False):
+def build_model(cfg: Stage2Config, num_classes: int, lean: bool = False,
+                lean_remat: bool = True):
     # reference --no_dtc recipe trains a plain single-head model
     # (GraphSAGE in the run.sh configs); KTGNN_noDTC is the single-head
     # KT-GNN selected when the model name says so
@@ -270,8 +310,12 @@ def build_model(cfg: Stage2Config, num_classes: int, lean: bool = False):
             # the measured capacity config: remat + recompute-backward,
             # Mosaic kernels off (the kernel backward stores the
             # [B,Et,2D] residuals that recompute exists to avoid —
-            # 35.6G vs 19.0G at 1M nodes, results_ktgnn_scale_r3.json)
-            lean_kw = dict(remat=True, fused_recompute_bwd=True,
+            # 35.6G vs 19.0G at 1M nodes, results_ktgnn_scale_r3.json).
+            # lean_remat=False (sharded backends): recompute-backward
+            # only — jax.checkpoint can't trace the HaloView's static
+            # leaves, and the [slots, 2·hidden] residuals it avoids are
+            # the dominant term anyway
+            lean_kw = dict(remat=lean_remat, fused_recompute_bwd=True,
                            fused_kernel_fwd=False, fused_kernel_bwd=False)
         return KTGNN(
             num_classes=num_classes,
@@ -311,24 +355,76 @@ def train_ktgnn(
     return _train_ktgnn_impl(data, cfg)
 
 
-def _train_ktgnn_impl(data, cfg):
-    g, adj = prepare_stage2_graph(data, cfg)
-    num_classes = int(np.asarray(g.y).max()) + 1
-    lean = (
-        resolve_memory_policy(g, adj, cfg)
-        if cfg.model_name == "KTGNN" and not cfg.no_dtc
-        else False
+def _surrogate_init_graph(num_features: int, num_classes: int):
+    """O(1)-size graph with the real feature/class dims, for parameter
+    init in sharded mode: every layer's param shapes depend only on
+    (num_features, hidden, num_classes), so initializing on this
+    surrogate yields the IDENTICAL param tree + init draws as a
+    full-graph init (flax folds rngs by module path, not data) without
+    the O(N·D) init forward."""
+    rng = np.random.default_rng(0)
+    n = max(16, num_classes + 8)  # every class present (y.max() drives C)
+    data = dict(
+        x=rng.normal(size=(n, num_features)).astype(np.float32),
+        edge_index=rng.integers(0, n, size=(2, 4 * n)),
+        y=np.concatenate([
+            np.arange(num_classes),
+            rng.integers(0, num_classes, size=n - num_classes),
+        ]).astype(np.int64),
+        train_mask=np.ones(n, dtype=bool),
+        val_mask=np.zeros(n, dtype=bool),
+        test_mask=np.zeros(n, dtype=bool),
+        central_mask=np.arange(n) < n // 2,
     )
+    g = with_self_loops(graph_from_dict(data))
+    return g, adjacency_from_graph(g, method="gather")
+
+
+def _train_ktgnn_impl(data, cfg):
+    sharded = cfg.n_shards > 1
+    if sharded and (cfg.model_name != "KTGNN" or cfg.no_dtc
+                    or cfg.need_complement):
+        raise ValueError(
+            "n_shards > 1 supports the KTGNN model (no_dtc=False, "
+            f"need_complement=False); got model_name={cfg.model_name!r}, "
+            f"no_dtc={cfg.no_dtc}, need_complement={cfg.need_complement}"
+        )
+    g, adj = prepare_stage2_graph(data, cfg, build_adj=not sharded)
+    num_classes = int(np.asarray(g.y).max()) + 1
+
+    part = None
+    if sharded and cfg.shard_layout == "halo":
+        from bridged_gnn_tpu.parallel.halopart import build_halo_partition
+        from bridged_gnn_tpu.parallel.stage2_runtime import (
+            estimate_plain_hbm_per_shard,
+        )
+
+        part = build_halo_partition(g, cfg.n_shards,
+                                    overlap=cfg.halo_overlap)
+        lean = resolve_memory_policy_sharded(
+            part, g, cfg, estimate_plain_hbm_per_shard
+        )
+    elif sharded:
+        # edge-shard keeps node arrays replicated: per-device message
+        # residuals shrink 1/n but node terms don't — reuse the
+        # single-device estimator shape with slots/n
+        lean = cfg.memory_policy == "lean"
+    else:
+        lean = (
+            resolve_memory_policy(g, adj, cfg)
+            if cfg.model_name == "KTGNN" and not cfg.no_dtc
+            else False
+        )
     if lean and cfg.log_every:
-        print("[memory_policy] lean engaged: remat + recompute-backward "
-              f"(est plain {estimate_plain_hbm(g, adj, cfg) / 2**30:.1f} "
-              "GiB)")
-    model = build_model(cfg, num_classes, lean=lean)
+        print("[memory_policy] lean engaged: recompute-backward"
+              + ("" if sharded else " + remat"))
+    model = build_model(cfg, num_classes, lean=lean,
+                        lean_remat=not sharded)
 
     # layout argument-passing (compile hygiene; DESIGN.md §9): when
     # engaged, the slot-layout arrays enter every jitted step as the
     # `lay_leaves` argument and the ops are re-bound inside the trace
-    if resolve_pass_layouts(adj, cfg):
+    if not sharded and resolve_pass_layouts(adj, cfg):
         from bridged_gnn_tpu.ops.blocked_segment import (
             blocked_ops_leaves,
             rebind_blocked_ops,
@@ -366,9 +462,15 @@ def _train_ktgnn_impl(data, cfg):
     init_kwargs = (
         dict(frontiers=frontiers) if frontiers is not None else {}
     )
+    if sharded:
+        # O(1) init: param shapes/draws depend only on feature dims
+        g_init, adj_init = _surrogate_init_graph(g.num_features,
+                                                 num_classes)
+    else:
+        g_init, adj_init = g, adj
     variables = model.init(
-        {"params": init_rng, "dropout": drop_rng}, g, adj, False,
-        **init_kwargs,
+        {"params": init_rng, "dropout": drop_rng}, g_init, adj_init,
+        False, **init_kwargs,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -528,6 +630,37 @@ def _train_ktgnn_impl(data, cfg):
             (params, batch_stats, opt_state, rng), g, adj, lay_leaves
         )
 
+    # --- backend selection (VERDICT r3 item 1): the SAME loop below
+    # drives either the single-device jitted steps or an n_shards-device
+    # mesh backend (parallel/stage2_runtime.py) — eval heads, best
+    # selection, scan, checkpoints and guards are layout-blind
+    if sharded:
+        from bridged_gnn_tpu.parallel.stage2_runtime import (
+            make_stage2_backend,
+        )
+
+        backend = make_stage2_backend(model, g, cfg, tx, num_classes,
+                                      part=part)
+        do_train_step = backend.train_step
+        do_eval_arrays = backend.eval_arrays
+
+        def do_scan(params, batch_stats, opt_state, rng, length):
+            return backend.scan_chunk(params, batch_stats, opt_state,
+                                      rng, length)
+    else:
+        def do_train_step(params, batch_stats, opt_state, drop_rng):
+            return train_step(params, batch_stats, opt_state, drop_rng,
+                              g, adj, lay_leaves)
+
+        def do_eval_arrays(params, batch_stats):
+            return tuple(
+                np.asarray(a)
+                for a in eval_step(params, batch_stats, g, adj,
+                                   lay_leaves)
+            )
+
+        do_scan = scan_chunk
+
     y_np = np.asarray(g.y)
     masks_np = {
         "train": np.asarray(g.train_mask),
@@ -536,9 +669,8 @@ def _train_ktgnn_impl(data, cfg):
     }
 
     def evaluate(params, batch_stats):
-        pred_s, pred_t, pred_that, lp_s, lp_t, lp_that = (
-            np.asarray(a)
-            for a in eval_step(params, batch_stats, g, adj, lay_leaves)
+        pred_s, pred_t, pred_that, lp_s, lp_t, lp_that = do_eval_arrays(
+            params, batch_stats
         )
 
         def probs_pos(lp, mask):
@@ -573,11 +705,13 @@ def _train_ktgnn_impl(data, cfg):
     # --- check_numerics guards (cfg.check_numerics; SURVEY §5.2) ---
     spread_fn = None
     numerics_state = {"max_spread": 0.0}
-    if cfg.check_numerics and is_ktgnn and (
+    if cfg.check_numerics and is_ktgnn and not sharded and (
         adj.fast_fn is not None
         and getattr(adj.fast_fn, "gather_slots", None) is not None
         and not (adj.use_dense)
     ):
+        # (sharded backends assert finite state only: the spread probe's
+        # Mosaic envelope applies to the single-device kernel layouts)
         # re-run the model with spread diagnostics sown on the custom-VJP
         # fused branch (forced via fused_recompute_bwd — identical param
         # structure, see nn/common.ParamKernel)
@@ -664,7 +798,7 @@ def _train_ktgnn_impl(data, cfg):
         while epoch <= cfg.num_epoch:
             k = min(cfg.scan_epochs, cfg.num_epoch - epoch + 1)
             t0 = time.time()
-            (params, batch_stats, opt_state, rng), ys = scan_chunk(
+            (params, batch_stats, opt_state, rng), ys = do_scan(
                 params, batch_stats, opt_state, rng, k
             )
             losses, losses_t2, counts = (np.asarray(a) for a in ys)
@@ -738,9 +872,8 @@ def _train_ktgnn_impl(data, cfg):
     for epoch in range(start_epoch, cfg.num_epoch + 1):
         with timer:
             rng, drop_rng = jax.random.split(rng)
-            params, batch_stats, opt_state, loss, aux = train_step(
-                params, batch_stats, opt_state, drop_rng, g, adj,
-                lay_leaves
+            params, batch_stats, opt_state, loss, aux = do_train_step(
+                params, batch_stats, opt_state, drop_rng
             )
             loss_t2 = float(aux["loss_t2"])
             numerics_check(params, batch_stats, float(loss), epoch)

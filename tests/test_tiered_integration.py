@@ -1,0 +1,133 @@
+"""Degree-tiered layouts in the production path (VERDICT r3 item 3).
+
+Real bridged graphs are systematically skew-heavy (top-k proposals
+concentrate on popular sources). Round 3 built the tiered machinery
+(ops/blocked_segment.TieredOps, ops/fused_attention.
+adapted_attention_tiered) but nothing reached it — the skewed production
+stage-2 silently ran the XLA gather fallback. These tests pin the round-4
+integration: adjacency_from_graph detects skew (or takes
+method='tiered'), AdaptedConv routes through the tiered attention, and
+the full KTGNN training run on a skewed graph matches the gather path.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from bridged_gnn_tpu.graph import graph_from_dict, with_self_loops
+from bridged_gnn_tpu.nn.ktgnn import KTGNN
+from bridged_gnn_tpu.ops.spmm import adjacency_from_graph
+from bridged_gnn_tpu.train.stage2 import Stage2Config, train_ktgnn
+
+
+def skewed_data(rng, n=600, c=4, d=16):
+    """~85% of edges land on 8 hot destinations (top-k pile-up shape)."""
+    e = 8 * n
+    hot = rng.integers(0, 8, size=e)
+    cold = rng.integers(0, n, size=e)
+    dst = np.where(rng.random(e) < 0.85, hot, cold)
+    src = rng.integers(0, n, size=e)
+    central = np.zeros(n, dtype=bool)
+    central[rng.permutation(n)[: n // 2]] = True
+    val = np.zeros(n, dtype=bool)
+    test = np.zeros(n, dtype=bool)
+    tgt = ~central
+    r = rng.random(n)
+    val[tgt & (r < 0.3)] = True
+    test[tgt & (r >= 0.3) & (r < 0.6)] = True
+    return dict(
+        x=rng.normal(size=(n, d)).astype(np.float32),
+        edge_index=np.stack([src, dst]),
+        y=rng.integers(0, c, size=n),
+        train_mask=rng.random(n) < 0.5,
+        val_mask=val,
+        test_mask=test,
+        central_mask=central,
+    )
+
+
+def test_auto_adjacency_detects_skew(rng):
+    g = with_self_loops(graph_from_dict(skewed_data(rng)))
+    adj = adjacency_from_graph(g, method="blocked", node_block=128)
+    assert adj.tiered_fn is not None, "skew must route to tiered layouts"
+    assert adj.fast_fn is None
+    # the whole point: tiered slots well under the single-layout bound
+    assert adj.tiered_fn.slots_tiered < 0.6 * adj.tiered_fn.slots_single
+    # explicit method
+    adj2 = adjacency_from_graph(g, method="tiered", node_block=128)
+    assert adj2.tiered_fn is not None
+
+
+def test_ktgnn_tiered_matches_gather(rng):
+    """Forward + gradients of the KTGNN conv stack through the tiered
+    attention equal the gather-path reference (same params)."""
+    g = with_self_loops(graph_from_dict(skewed_data(rng)))
+    adj_t = adjacency_from_graph(g, method="tiered", node_block=128)
+    adj_g = adjacency_from_graph(g, method="gather")
+    assert adj_g.fast_fn is None and adj_g.tiered_fn is None
+
+    model = KTGNN(num_classes=4, layer_num=2, hidden=16, dropout=0.0)
+    variables = model.init(jax.random.PRNGKey(0), g, adj_g, False)
+
+    def loss(v, adj):
+        lp_s, lp_t, lp_that, _ = model.apply(v, g, adj, False)
+        return (
+            jnp.sum(lp_s * g.node_mask[:, None])
+            + jnp.sum(lp_that * g.node_mask[:, None])
+        )
+
+    import jax.numpy as jnp
+
+    l_t, g_t = jax.value_and_grad(loss)(variables, adj_t)
+    l_g, g_g = jax.value_and_grad(loss)(variables, adj_g)
+    np.testing.assert_allclose(float(l_t), float(l_g), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_t),
+                    jax.tree_util.tree_leaves(g_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_train_ktgnn_on_skewed_graph_uses_tiered(rng):
+    """End-to-end stage-2 run on the skewed graph with the default
+    adjacency policy: tiered engages (no silent gather fallback) and the
+    training history matches a forced-gather run."""
+    data = skewed_data(rng)
+    base = dict(hidden=16, num_epoch=8, dropout=0.0, log_every=0)
+    res_t = train_ktgnn(dict(data), Stage2Config(**base))
+    res_g = train_ktgnn(
+        dict(data), Stage2Config(**base, adjacency_method="gather")
+    )
+    # graph is small → default adjacency is dense; force blocked to hit
+    # the skew detection
+    res_b = train_ktgnn(
+        dict(data), Stage2Config(**base, adjacency_method="blocked")
+    )
+    l_g = [h["loss"] for h in res_g["history"]]
+    np.testing.assert_allclose(
+        [h["loss"] for h in res_t["history"]], l_g, rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        [h["loss"] for h in res_b["history"]], l_g, rtol=2e-4
+    )
+    assert res_b["best"]["epoch"] == res_g["best"]["epoch"]
+
+
+def test_tiered_kernel_param_structure(rng):
+    """The tiered kernel branch (ParamKernel a-vectors) and the module
+    branch produce interchangeable param trees — checkpoints transfer."""
+    g = with_self_loops(graph_from_dict(skewed_data(rng)))
+    adj = adjacency_from_graph(g, method="tiered", node_block=128)
+    m_mod = KTGNN(num_classes=4, layer_num=2, hidden=16, dropout=0.0,
+                  fused_kernel_fwd=False, fused_kernel_bwd=False)
+    m_ker = KTGNN(num_classes=4, layer_num=2, hidden=16, dropout=0.0,
+                  fused_recompute_bwd=True)
+    v1 = m_mod.init(jax.random.PRNGKey(0), g, adj, False)
+    v2 = m_ker.init(jax.random.PRNGKey(0), g, adj, False)
+    assert jax.tree_util.tree_structure(v1["params"]) == \
+        jax.tree_util.tree_structure(v2["params"])
+    # and the recompute path computes the same function
+    o1 = m_mod.apply(v1, g, adj, False)
+    o2 = m_ker.apply(v1, g, adj, False)
+    for a, b in zip(o1[:3], o2[:3]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
