@@ -791,7 +791,12 @@ def make_tiered_blocked_ops(
     num_nodes_padded: int,
     node_block: int = 128,
     max_tiers: int = 4,
+    src_space: int = 0,
 ) -> TieredOps:
+    """``src_space``: size of the sender index space when it differs
+    from the destination space (halo shards gather senders from
+    x_ext = [own rows ‖ halo buffer]); 0 = same as num_nodes_padded."""
+    src_space = src_space or num_nodes_padded
     s = np.asarray(senders).astype(np.int64)
     r = np.asarray(receivers).astype(np.int64)
     em = np.asarray(edge_mask)
@@ -843,9 +848,9 @@ def make_tiered_blocked_ops(
         perm = np.argsort(s_t, kind="stable")
         s_np = _padded_layout_np(
             s_t[perm], r_t[perm].astype(np.int32), eid_t[perm],
-            em_t[perm], n_pad, nb,
+            em_t[perm], src_space, nb,
         )
-        lay_src = _layout_from_np(s_np, n_pad, nb)
+        lay_src = _layout_from_np(s_np, src_space, nb)
         d_edge = d_np[2].reshape(-1)
         d_mask = d_np[3].reshape(-1)
         pos_dst = np.zeros(max(len(idx), 1), np.int32)

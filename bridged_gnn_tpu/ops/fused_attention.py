@@ -554,8 +554,17 @@ def adapted_attention_tiered(
     nb = tops.node_block
     n_full = tops.row_order.shape[0]
     c_pad = jnp.pad(central, (0, n_full - central.shape[0]))
-    u1_full = jnp.pad(u1, ((0, max(n_full - u1.shape[0], 0)), (0, 0)))
-    u2_full = jnp.pad(u2, ((0, max(n_full - u2.shape[0], 0)), (0, 0)))
+
+    def fit_dst(u):
+        # destination-side rows: pad up or slice down to the dst space
+        # (slice when senders live in a larger space, e.g. halo x_ext;
+        # both transposes stay scatter-free: pad ↔ slice)
+        if u.shape[0] < n_full:
+            return jnp.pad(u, ((0, n_full - u.shape[0]), (0, 0)))
+        return u[:n_full]
+
+    u1_full = fit_dst(u1)
+    u2_full = fit_dst(u2)
     # ONE permutation into tier-concat order; per-tier dst rows are then
     # contiguous slices (their autodiff transpose is a pad, not a
     # scatter) and the output permutes back with the inverse

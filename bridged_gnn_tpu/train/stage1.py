@@ -614,6 +614,7 @@ class DeviceStage1Evaluator:
             ])
 
         self._fns = {}
+        samplers = {}
         for split in ("val", "test"):
             # the host evaluator passes each enumerator its own domain's
             # class count as max_class_num (stage1.py Stage1Evaluator;
@@ -628,6 +629,7 @@ class DeviceStage1Evaluator:
                 src_d, self.num_classes_src, cfg.eval_sample_size, split,
                 data2=tar_d,
             )
+            samplers[split] = (s_src, s_tar, s_cross)
             m_src, m_tar = split_masks[split]
 
             def _eval(variables, key, s_src=s_src, s_tar=s_tar,
@@ -671,12 +673,62 @@ class DeviceStage1Evaluator:
 
             self._fns[split] = jax.jit(_eval)
 
-    def __call__(self, variables, split: str, epoch: int = 0):
-        key = jax.random.fold_in(
+        # --- fused both-splits eval (VERDICT r3 item 4): the per-split
+        # functions above re-encode BOTH full graphs inside every
+        # model.apply — 6 source + 6 target encodes per eval epoch, in 2
+        # blocking dispatches. This single jitted program encodes each
+        # domain ONCE, scores all six pair relations + both clf heads
+        # from the shared embeddings, and returns every count tensor in
+        # one dispatch (one tunnel round trip instead of two, ~6x less
+        # encode work). Per-split sampling keys are IDENTICAL to the
+        # per-split path, so scores are bit-equal to calling
+        # __call__('val') + __call__('test').
+        def _eval_both(variables, key_val, key_test):
+            def method(m):
+                z_src = m.source_learner.encode(
+                    g_src.x, adj_src, g_src.node_mask, False
+                )
+                z_tar, _ = m.target_learner.encode(
+                    g_tar.x, adj_tar, g_tar.node_mask, False
+                )
+                sim = m.source_learner.sim_net
+                lp_src = sim.classify(z_src, False)
+                lp_tar = sim.classify(z_tar, False)
+                out = []
+                for split, key in (("val", key_val), ("test", key_test)):
+                    s_src, s_tar, s_cross = samplers[split]
+                    m_src, m_tar = split_masks[split]
+                    k1, k2, k3 = jax.random.split(key, 3)
+                    i1, i2 = s_src.sample(k1)
+                    p_src, _ = sim(z_src, i1, i2, False)
+                    j1, j2 = s_tar.sample(k2)
+                    p_tar, _ = sim(z_tar, j1, j2, False)
+                    x1, x2 = s_cross.sample(k3)
+                    p_cross = sim.similarity_cross_domain(
+                        z_src, z_tar, x1, x2, False
+                    )
+                    out.append((
+                        pair_counts(p_src[:, 0], y_src[i1] == y_src[i2]),
+                        pair_counts(p_tar[:, 0], y_tar[j1] == y_tar[j2]),
+                        pair_counts(p_cross, y_src[x1] == y_tar[x2]),
+                        clf_counts(jnp.exp(lp_src), g_src.y, m_src,
+                                   self.num_classes_src),
+                        clf_counts(jnp.exp(lp_tar), g_tar.y, m_tar,
+                                   self.num_classes_tar),
+                    ))
+                return tuple(out)
+
+            return model.apply(variables, method=method)
+
+        self._fn_both = jax.jit(_eval_both)
+
+    def _split_key(self, split: str, epoch: int):
+        return jax.random.fold_in(
             jax.random.fold_in(self._base_key, 0 if split == "val" else 1),
             epoch,
         )
-        out = self._fns[split](variables, key)
+
+    def _scores(self, out):
         c_ps, c_pt, c_pc, c_cs, c_ct = (np.asarray(a) for a in out)
         sc = self._score_from_counts
         metric = self.cfg.metric
@@ -687,6 +739,20 @@ class DeviceStage1Evaluator:
             sc(*c_ct, metric=metric, f1_average="macro"),
             sc(*c_pc, metric=metric, f1_average="binary"),
         )
+
+    def both(self, variables, epoch: int = 0):
+        """(val_scores, test_scores) in ONE device dispatch — bit-equal
+        to (self(variables,'val',epoch), self(variables,'test',epoch))."""
+        out_val, out_test = self._fn_both(
+            variables,
+            self._split_key("val", epoch),
+            self._split_key("test", epoch),
+        )
+        return self._scores(out_val), self._scores(out_test)
+
+    def __call__(self, variables, split: str, epoch: int = 0):
+        out = self._fns[split](variables, self._split_key(split, epoch))
+        return self._scores(out)
 
 
 def train_adversarial(
@@ -845,8 +911,13 @@ def train_adversarial(
                 and epoch % cfg.eval_per_epoch == 0
             ):
                 cur_vars = {"params": params, "batch_stats": batch_stats}
-                val = evaluator(cur_vars, "val", epoch)
-                test = evaluator(cur_vars, "test", epoch)
+                if hasattr(evaluator, "both"):
+                    # device evaluator: val+test in one dispatch with
+                    # shared domain encodes (bit-equal to two calls)
+                    val, test = evaluator.both(cur_vars, epoch)
+                else:
+                    val = evaluator(cur_vars, "val", epoch)
+                    test = evaluator(cur_vars, "test", epoch)
                 if val[4] > best["val"][2]:
                     best.update(
                         epoch=epoch, train=train_scores,

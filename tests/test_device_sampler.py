@@ -316,3 +316,35 @@ def test_device_sampling_requires_scan_mode(domains):
     cfg = Stage1Config(num_epoch=2, device_sampling=True, scan_epochs=0)
     with pytest.raises(ValueError, match="scan_epochs"):
         train_adversarial(src_d, tar_d, cfg)
+
+
+def test_device_evaluator_both_matches_per_split(domains):
+    """The fused both-splits eval (one dispatch, shared domain encodes;
+    VERDICT r3 item 4) must reproduce the per-split calls bit-exactly —
+    identical sampling keys, identical scores."""
+    from bridged_gnn_tpu.graph import graph_from_dict
+    from bridged_gnn_tpu.train.stage1 import (
+        DeviceStage1Evaluator,
+        build_model,
+    )
+
+    src_d, tar_d = domains
+    cfg = Stage1Config(
+        hidden_dim=16, num_epoch=3, start_eval_epoch=999,
+        sample_size=400, max_class_num=4, sim_mode="mlp", backbone="mlp",
+        eval_sample_size=2000, scan_epochs=3, device_sampling=True,
+        repeat=1, seed=0,
+    )
+    res = train_adversarial(src_d, tar_d, cfg)
+    variables = res["variables"]
+    model = build_model(cfg, src_d, tar_d)
+    g_src = graph_from_dict(src_d)
+    g_tar = graph_from_dict(tar_d)
+    dev = DeviceStage1Evaluator(
+        model, g_src, None, g_tar, None, src_d, tar_d, cfg
+    )
+    val_b, test_b = dev.both(variables, epoch=7)
+    val_s = dev(variables, "val", epoch=7)
+    test_s = dev(variables, "test", epoch=7)
+    assert val_b == val_s
+    assert test_b == test_s

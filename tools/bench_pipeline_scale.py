@@ -9,7 +9,7 @@ the Mosaic attention kernels on the TPU backend
 (ops/pallas_fused.auto_kernel).
 
 Phases timed separately: stage-1 train, bridge construction (propose +
-filters + merge), stage-2 train. Writes results_large_pipeline_tpu_r3.json
+filters + merge), stage-2 train. Writes results_large_pipeline_tpu_r4.json
 (at full scale; _smoke.json on reduced sizes).
 
 Usage: nohup python tools/bench_pipeline_scale.py > log 2>&1 &
@@ -42,7 +42,7 @@ EPOCHS2 = 100 if N_SRC > 5000 else 10
 # smoke lane must still fire stage-1 eval (epoch % eval_per_epoch == 0
 # within EPOCHS1), or stage1_cross_f1 stays at the sentinel
 EVAL_EVERY1 = 10 if EPOCHS1 > 20 else 2
-OUT = ("results_large_pipeline_tpu_r3.json" if N_SRC > 5000
+OUT = ("results_large_pipeline_tpu_r4.json" if N_SRC > 5000
        else "/tmp/pipeline_smoke.json")
 
 t_all = time.time()
@@ -117,6 +117,7 @@ res["stage2_s_per_epoch"] = float(res2["mean_epoch_time"])
 res["total_s"] = time.time() - t_all
 res["round1_total_s"] = 473.4  # results_large_pipeline_tpu.json
 res["round2_total_s"] = 489.9  # results_large_pipeline_tpu_r2.json
+res["round3_total_s"] = 489.9  # results_large_pipeline_tpu_r3.json (stage1 134.9 / bridge 76.4 / stage2 236.5)
 print(json.dumps(res, indent=2))
 with open(OUT, "w") as f:
     json.dump(res, f, indent=2)

@@ -107,6 +107,48 @@ res_dev = train_adversarial(src_d, tar_d, cfg_dev)
 out["train_noeval_30ep_device_sampling_s"] = time.time() - t0
 out["throughput_device_sampling"] = res_dev.get("throughput")
 
+# --- eval cost (VERDICT r3 item 4): the production recipe evaluates
+# EVERY epoch from start_eval_epoch (eval_per_epoch=1, reference
+# parity), so epochs 300-400 pay train-segment + eval dispatches. Time
+# the per-split device evaluator (2 dispatches, 12 full-graph encodes)
+# vs the fused both-splits form (1 dispatch, 2 encodes).
+from bridged_gnn_tpu.graph import graph_from_dict
+from bridged_gnn_tpu.train.stage1 import (
+    DeviceStage1Evaluator,
+    build_model,
+)
+
+variables = res_dev["variables"]
+model = build_model(cfg_dev, src_d, tar_d)
+g_src = graph_from_dict(src_d)
+g_tar = graph_from_dict(tar_d)
+ev = DeviceStage1Evaluator(
+    model, g_src, None, g_tar, None, src_d, tar_d, cfg_dev
+)
+ev(variables, "val", 1); ev(variables, "test", 1)     # compile
+ev.both(variables, 1)
+for name, fn in (
+    ("eval_per_split_s", lambda e: (ev(variables, "val", e),
+                                    ev(variables, "test", e))),
+    ("eval_both_s", lambda e: ev.both(variables, e)),
+):
+    t0 = time.time()
+    for e in range(10):
+        fn(e)
+    out[name] = (time.time() - t0) / 10
+
+# --- production-shaped run: 400 epochs, eval every epoch from 300
+# (the office_amazon2dslr_tpu stage-1 shape at pipeline scale)
+cfg_prod = Stage1Config(
+    hidden_dim=128, num_epoch=400, start_eval_epoch=300, eval_per_epoch=1,
+    sample_size=SAMPLE, sim_mode="mlp", backbone="mlp", max_class_num=8,
+    scan_epochs=25, device_sampling=True, repeat=1,
+)
+t0 = time.time()
+res_prod = train_adversarial(src_d, tar_d, cfg_prod)
+out["train_prod_400ep_s"] = time.time() - t0
+out["throughput_prod"] = res_prod.get("throughput")
+
 print(json.dumps(out, indent=2))
 with open("tools/probe_stage1_breakdown.json", "w") as f:
     json.dump(out, f, indent=2)

@@ -42,11 +42,18 @@ run_job () {
   return 1
 }
 
-run_job stage1_breakdown python tools/probe_stage1_breakdown.py
-run_job ktgnn_scale_bf16msg env BGNN_KTGNN_KERNEL=1 BGNN_MSG_BF16=1 \
-  python tools/bench_ktgnn_scale.py results_ktgnn_scale_bf16msg.json
-run_job pipeline_scale_r3 python tools/bench_pipeline_scale.py
-run_job serve_tpu python tools/bench_serve.py
+# round 4: wait for any already-running standalone chip job first (one
+# TPU client at a time; pass its PID via BGNN_WAIT_PID)
+if [ -n "${BGNN_WAIT_PID:-}" ]; then
+  while [ -d "/proc/${BGNN_WAIT_PID}" ]; do
+    echo "waiting for pid ${BGNN_WAIT_PID} $(date -u +%H:%M:%S)"; sleep 60
+  done
+fi
+
+run_job halo_overlap python tools/bench_halo_overlap.py
+run_job hbm_estimator python tools/probe_hbm_estimator.py
+run_job serve_http python tools/bench_serve_http.py
+run_job pipeline_scale_r4 python tools/bench_pipeline_scale.py
 run_job tpu_lane env BGNN_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
 run_job bench python bench.py
 
