@@ -160,16 +160,32 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
                      use_clf: bool, device_ctx=None):
     """``device_ctx``: optional ``(samplers, labels)`` from
     ``device_sampler.build_device_samplers`` — enables the device-sampling
-    scan variant exposed as the returned scan object's ``device_scan``."""
+    scan variant exposed as the returned scan object's ``device_scan``.
+
+    Compile hygiene (VERDICT r3 item 4; same rule as stage-2,
+    DESIGN.md §9): every graph-sized array — features, masks, labels,
+    adjacency pytrees — enters the jitted steps through the ``G``
+    ARGUMENT, never as a closure constant. Closure-captured concrete
+    arrays embed into the HLO as constants that XLA constant-folds
+    through the full-graph forward; measured on the tunneled chip, the
+    30-epoch no-eval stage-1 run was 128-163 s of which ~127 s was
+    scan-chunk compile at 20k/15k nodes (tools/probe_stage1_breakdown)."""
     tx_st, tx_d = _group_optimizers()
 
-    def sim_loss(params, batch_stats, dropout_rng, idxs, y_pairs):
+    G_host = dict(
+        xs=g_src.x, nms=g_src.node_mask, ys=g_src.y,
+        tms=g_src.train_mask, adjs=adj_src,
+        xt=g_tar.x, nmt=g_tar.node_mask, yt=g_tar.y,
+        tmt=g_tar.train_mask, adjt=adj_tar,
+    )
+
+    def sim_loss(params, batch_stats, dropout_rng, idxs, y_pairs, G):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            g_src.x, adj_src, g_tar.x, adj_tar,
+            G["xs"], G["adjs"], G["xt"], G["adjt"],
             idxs["src1"], idxs["src2"], idxs["tar1"], idxs["tar2"],
             idxs["cross1"], idxs["cross2"],
-            mask_src=g_src.node_mask, mask_tar=g_tar.node_mask, train=True,
+            mask_src=G["nms"], mask_tar=G["nmt"], train=True,
             rngs={"dropout": dropout_rng},
             mutable=["batch_stats"],
             method=AdversarialLearnerV2.train_forward,
@@ -178,14 +194,14 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
         loss_tar = bce(out["probs_pair_tar"][:, 0], y_pairs["tar"])
         loss_cross = bce(out["probs_pair_cross"][:, 0], y_pairs["cross"])
         # AE: recon MSE over real rows + generator BCE (scripts.py:50-55)
-        nm = g_tar.node_mask[:, None].astype(out["recons"].dtype)
-        n_real = jnp.maximum(jnp.sum(g_tar.node_mask), 1)
+        nm = G["nmt"][:, None].astype(out["recons"].dtype)
+        n_real = jnp.maximum(jnp.sum(G["nmt"]), 1)
         loss_recons = jnp.sum(
             ((out["recons"] - out["h0_tar"]) ** 2) * nm
         ) / (n_real * out["recons"].shape[1])
         d_probs = jnp.clip(out["d_tar"][:, 0], _EPS, 1 - _EPS)
         loss_g = -jnp.sum(
-            jnp.log(d_probs) * g_tar.node_mask
+            jnp.log(d_probs) * G["nmt"]
         ) / n_real
         loss_ae = loss_g + loss_recons * 0.1
         loss = loss_src + loss_tar + loss_cross + loss_ae
@@ -198,8 +214,8 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
                 m = mask.astype(log_probs.dtype)
                 return -jnp.sum(picked * m) / jnp.maximum(jnp.sum(m), 1.0)
 
-            loss = loss + nll(out["log_clf_src"], g_src.y, g_src.train_mask)
-            loss = loss + nll(out["log_clf_tar"], g_tar.y, g_tar.train_mask)
+            loss = loss + nll(out["log_clf_src"], G["ys"], G["tms"])
+            loss = loss + nll(out["log_clf_tar"], G["yt"], G["tmt"])
         aux = dict(
             loss_ae=loss_ae, loss_g=loss_g, loss_recons=loss_recons,
             probs_src=out["probs_pair_src"][:, 0],
@@ -211,15 +227,21 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
         return loss, (aux, mutated["batch_stats"])
 
     @jax.jit
-    def sim_step(params, batch_stats, opt_state, dropout_rng, idxs, y_pairs):
+    def _sim_step(params, batch_stats, opt_state, dropout_rng, idxs,
+                  y_pairs, G):
         (loss, (aux, new_bs)), grads = jax.value_and_grad(
             sim_loss, has_aux=True
-        )(params, batch_stats, dropout_rng, idxs, y_pairs)
+        )(params, batch_stats, dropout_rng, idxs, y_pairs, G)
         updates, opt_state = tx_st.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, opt_state, loss, aux
 
-    def d_loss(params, batch_stats, h_src, h_tar):
+    def sim_step(params, batch_stats, opt_state, dropout_rng, idxs,
+                 y_pairs):
+        return _sim_step(params, batch_stats, opt_state, dropout_rng,
+                         idxs, y_pairs, G_host)
+
+    def d_loss(params, batch_stats, h_src, h_tar, nms, nmt):
         disc = lambda m, z: m.discriminator(z, train=True)  # noqa: E731
         p_real = model.apply(
             {"params": params, "batch_stats": batch_stats}, h_src,
@@ -229,8 +251,8 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
             {"params": params, "batch_stats": batch_stats}, h_tar,
             method=disc,
         )[:, 0]
-        m_src = g_src.node_mask.astype(p_real.dtype)
-        m_tar = g_tar.node_mask.astype(p_fake.dtype)
+        m_src = nms.astype(p_real.dtype)
+        m_tar = nmt.astype(p_fake.dtype)
         real = -jnp.sum(
             jnp.log(jnp.clip(p_real, _EPS, 1 - _EPS)) * m_src
         ) / jnp.maximum(m_src.sum(), 1)
@@ -240,27 +262,31 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
         return (real + fake) / 2
 
     @jax.jit
-    def d_step(params, batch_stats, opt_state, h_src, h_tar):
+    def _d_step(params, batch_stats, opt_state, h_src, h_tar, nms, nmt):
         loss, grads = jax.value_and_grad(d_loss)(
-            params, batch_stats, h_src, h_tar
+            params, batch_stats, h_src, h_tar, nms, nmt
         )
         updates, opt_state = tx_d.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    def d_step(params, batch_stats, opt_state, h_src, h_tar):
+        return _d_step(params, batch_stats, opt_state, h_src, h_tar,
+                       G_host["nms"], G_host["nmt"])
+
     # --- scan mode: K epochs per dispatch over pre-sampled index stacks ---
 
-    def _epoch(carry, inp):
+    def _epoch(carry, inp, G):
         params, bs, opt_st, opt_d, rng = carry
         idxs, y_pairs = inp
         rng, drop = jax.random.split(rng)
         (loss_sim, (aux, bs)), grads = jax.value_and_grad(
             sim_loss, has_aux=True
-        )(params, bs, drop, idxs, y_pairs)
+        )(params, bs, drop, idxs, y_pairs, G)
         updates, opt_st = tx_st.update(grads, opt_st, params)
         params = optax.apply_updates(params, updates)
         loss_d, dgrads = jax.value_and_grad(d_loss)(
-            params, bs, aux["h_src"], aux["h_tar"]
+            params, bs, aux["h_src"], aux["h_tar"], G["nms"], G["nmt"]
         )
         dupd, opt_d = tx_d.update(dgrads, opt_d, params)
         params = optax.apply_updates(params, dupd)
@@ -279,8 +305,10 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
         k = next(iter(stacked_idxs.values())).shape[0]
         if k not in _scan_cache:
 
-            def run(c, xs):
-                c, ys = jax.lax.scan(_epoch, c, xs)
+            def run(c, xs, G):
+                c, ys = jax.lax.scan(
+                    lambda c, inp: _epoch(c, inp, G), c, xs
+                )
                 losses, d_losses, ae_losses, p_s, p_t, p_c = ys
                 # only the segment's final-epoch pair predictions are
                 # consumed host-side (train-F1 logging) — slice on device
@@ -292,6 +320,7 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
         return _scan_cache[k](
             (params, bs, opt_st, opt_d, rng),
             (stacked_idxs, stacked_y_pairs),
+            G_host,
         )
 
     # --- device-sampling scan: pairs drawn inside the scan body, zero
@@ -304,13 +333,13 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
 
         samplers, labels = device_ctx
 
-        def _epoch_dev(carry, _):
+        def _epoch_dev(carry, _, G):
             params, bs, opt_st, opt_d, rng = carry
             rng, samp_key = jax.random.split(rng)
             idxs, y_pairs = sample_epoch_on_device(samplers, labels,
                                                    samp_key)
             carry, ys = _epoch((params, bs, opt_st, opt_d, rng),
-                               (idxs, y_pairs))
+                               (idxs, y_pairs), G)
             return carry, ys + (
                 y_pairs["src"], y_pairs["tar"], y_pairs["cross"],
             )
@@ -320,8 +349,11 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
         def scan_epochs_device(params, bs, opt_st, opt_d, rng, k):
             if k not in _dev_cache:
 
-                def run(c):
-                    c, ys = jax.lax.scan(_epoch_dev, c, None, length=k)
+                def run(c, G):
+                    c, ys = jax.lax.scan(
+                        lambda c, x: _epoch_dev(c, x, G), c, None,
+                        length=k,
+                    )
                     (losses, d_losses, ae_losses,
                      p_s, p_t, p_c, y_s, y_t, y_c) = ys
                     # final-epoch preds + targets only (host train-F1 log)
@@ -330,7 +362,7 @@ def make_train_steps(model, g_src: Graph, adj_src, g_tar: Graph, adj_tar,
                                y_s[-1], y_t[-1], y_c[-1])
 
                 _dev_cache[k] = jax.jit(run)
-            return _dev_cache[k]((params, bs, opt_st, opt_d, rng))
+            return _dev_cache[k]((params, bs, opt_st, opt_d, rng), G_host)
 
     return sim_step, d_step, tx_st, tx_d, _ScanFns(
         scan_epochs, scan_epochs_device
@@ -390,46 +422,52 @@ class Stage1Evaluator:
         model = self.model
         g_src, adj_src = self.g_src, self.adj_src
         g_tar, adj_tar = self.g_tar, self.adj_tar
+        # graph arrays as jit ARGUMENTS (compile hygiene; see
+        # make_train_steps docstring)
+        G = dict(xs=g_src.x, nms=g_src.node_mask, adjs=adj_src,
+                 xt=g_tar.x, nmt=g_tar.node_mask, adjt=adj_tar)
 
         @jax.jit
-        def score_src(variables, i1, i2):
+        def _score_src(variables, i1, i2, G):
             p, _ = model.apply(
-                variables, g_src.x, adj_src, i1, i2,
+                variables, G["xs"], G["adjs"], i1, i2,
                 method=AdversarialLearnerV2.get_probs_within_domain,
-                domain="source", mask=g_src.node_mask,
+                domain="source", mask=G["nms"],
             )
             return p[:, 0]
 
         @jax.jit
-        def score_tar(variables, i1, i2):
+        def _score_tar(variables, i1, i2, G):
             p, _ = model.apply(
-                variables, g_tar.x, adj_tar, i1, i2,
+                variables, G["xt"], G["adjt"], i1, i2,
                 method=AdversarialLearnerV2.get_probs_within_domain,
-                domain="target", mask=g_tar.node_mask,
+                domain="target", mask=G["nmt"],
             )
             return p[:, 0]
 
         @jax.jit
-        def score_cross(variables, i1, i2):
+        def _score_cross(variables, i1, i2, G):
             p, *_ = model.apply(
-                variables, g_src.x, adj_src, g_tar.x, adj_tar, i1, i2,
+                variables, G["xs"], G["adjs"], G["xt"], G["adjt"], i1, i2,
                 method=AdversarialLearnerV2.get_probs_cross_domain,
-                mask_src=g_src.node_mask, mask_tar=g_tar.node_mask,
+                mask_src=G["nms"], mask_tar=G["nmt"],
             )
             return p[:, 0]
 
         @jax.jit
-        def clf_probs(variables):
+        def _clf_probs(variables, G):
             _, ps, pt, _, _ = model.apply(
-                variables, g_src.x, adj_src, g_tar.x, adj_tar,
+                variables, G["xs"], G["adjs"], G["xt"], G["adjt"],
                 jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
                 method=AdversarialLearnerV2.get_probs_cross_domain,
-                mask_src=g_src.node_mask, mask_tar=g_tar.node_mask,
+                mask_src=G["nms"], mask_tar=G["nmt"],
             )
             return ps, pt
 
-        self.score_src, self.score_tar = score_src, score_tar
-        self.score_cross, self.clf_probs = score_cross, clf_probs
+        self.score_src = lambda v, i1, i2: _score_src(v, i1, i2, G)
+        self.score_tar = lambda v, i1, i2: _score_tar(v, i1, i2, G)
+        self.score_cross = lambda v, i1, i2: _score_cross(v, i1, i2, G)
+        self.clf_probs = lambda v: _clf_probs(v, G)
 
     def _within(self, variables, data, score_fn, enu, split):
         cfg = self.cfg
@@ -632,41 +670,42 @@ class DeviceStage1Evaluator:
             samplers[split] = (s_src, s_tar, s_cross)
             m_src, m_tar = split_masks[split]
 
-            def _eval(variables, key, s_src=s_src, s_tar=s_tar,
+            def _eval(variables, key, G, s_src=s_src, s_tar=s_tar,
                       s_cross=s_cross, m_src=m_src, m_tar=m_tar):
                 k1, k2, k3 = jax.random.split(key, 3)
                 i1, i2 = s_src.sample(k1)
                 p_src, _ = model.apply(
-                    variables, g_src.x, adj_src, i1, i2,
+                    variables, G["xs"], G["adjs"], i1, i2,
                     method=AdversarialLearnerV2.get_probs_within_domain,
-                    domain="source", mask=g_src.node_mask,
+                    domain="source", mask=G["nms"],
                 )
                 c_pair_src = pair_counts(
                     p_src[:, 0], y_src[i1] == y_src[i2]
                 )
                 j1, j2 = s_tar.sample(k2)
                 p_tar, _ = model.apply(
-                    variables, g_tar.x, adj_tar, j1, j2,
+                    variables, G["xt"], G["adjt"], j1, j2,
                     method=AdversarialLearnerV2.get_probs_within_domain,
-                    domain="target", mask=g_tar.node_mask,
+                    domain="target", mask=G["nmt"],
                 )
                 c_pair_tar = pair_counts(
                     p_tar[:, 0], y_tar[j1] == y_tar[j2]
                 )
                 x1, x2 = s_cross.sample(k3)
                 p_cross, ps, pt, _, _ = model.apply(
-                    variables, g_src.x, adj_src, g_tar.x, adj_tar, x1, x2,
+                    variables, G["xs"], G["adjs"], G["xt"], G["adjt"],
+                    x1, x2,
                     method=AdversarialLearnerV2.get_probs_cross_domain,
-                    mask_src=g_src.node_mask, mask_tar=g_tar.node_mask,
+                    mask_src=G["nms"], mask_tar=G["nmt"],
                 )
                 c_pair_cross = pair_counts(
                     p_cross[:, 0], y_src[x1] == y_tar[x2]
                 )
                 c_clf_src = clf_counts(
-                    ps, g_src.y, m_src, self.num_classes_src
+                    ps, G["ys"], m_src, self.num_classes_src
                 )
                 c_clf_tar = clf_counts(
-                    pt, g_tar.y, m_tar, self.num_classes_tar
+                    pt, G["yt"], m_tar, self.num_classes_tar
                 )
                 return (c_pair_src, c_pair_tar, c_pair_cross,
                         c_clf_src, c_clf_tar)
@@ -683,13 +722,13 @@ class DeviceStage1Evaluator:
         # encode work). Per-split sampling keys are IDENTICAL to the
         # per-split path, so scores are bit-equal to calling
         # __call__('val') + __call__('test').
-        def _eval_both(variables, key_val, key_test):
+        def _eval_both(variables, key_val, key_test, G):
             def method(m):
                 z_src = m.source_learner.encode(
-                    g_src.x, adj_src, g_src.node_mask, False
+                    G["xs"], G["adjs"], G["nms"], False
                 )
                 z_tar, _ = m.target_learner.encode(
-                    g_tar.x, adj_tar, g_tar.node_mask, False
+                    G["xt"], G["adjt"], G["nmt"], False
                 )
                 sim = m.source_learner.sim_net
                 lp_src = sim.classify(z_src, False)
@@ -711,9 +750,9 @@ class DeviceStage1Evaluator:
                         pair_counts(p_src[:, 0], y_src[i1] == y_src[i2]),
                         pair_counts(p_tar[:, 0], y_tar[j1] == y_tar[j2]),
                         pair_counts(p_cross, y_src[x1] == y_tar[x2]),
-                        clf_counts(jnp.exp(lp_src), g_src.y, m_src,
+                        clf_counts(jnp.exp(lp_src), G["ys"], m_src,
                                    self.num_classes_src),
-                        clf_counts(jnp.exp(lp_tar), g_tar.y, m_tar,
+                        clf_counts(jnp.exp(lp_tar), G["yt"], m_tar,
                                    self.num_classes_tar),
                     ))
                 return tuple(out)
@@ -721,6 +760,10 @@ class DeviceStage1Evaluator:
             return model.apply(variables, method=method)
 
         self._fn_both = jax.jit(_eval_both)
+        self._G = dict(
+            xs=g_src.x, nms=g_src.node_mask, ys=g_src.y, adjs=adj_src,
+            xt=g_tar.x, nmt=g_tar.node_mask, yt=g_tar.y, adjt=adj_tar,
+        )
 
     def _split_key(self, split: str, epoch: int):
         return jax.random.fold_in(
@@ -743,15 +786,19 @@ class DeviceStage1Evaluator:
     def both(self, variables, epoch: int = 0):
         """(val_scores, test_scores) in ONE device dispatch — bit-equal
         to (self(variables,'val',epoch), self(variables,'test',epoch))."""
-        out_val, out_test = self._fn_both(
+        out_val, out_test = jax.device_get(self._fn_both(
             variables,
             self._split_key("val", epoch),
             self._split_key("test", epoch),
-        )
+            self._G,
+        ))
         return self._scores(out_val), self._scores(out_test)
 
     def __call__(self, variables, split: str, epoch: int = 0):
-        out = self._fns[split](variables, self._split_key(split, epoch))
+        out = jax.device_get(
+            self._fns[split](variables, self._split_key(split, epoch),
+                             self._G)
+        )
         return self._scores(out)
 
 
@@ -950,10 +997,12 @@ def train_adversarial(
                             params, batch_stats, opt_st, opt_d, seg_key, k
                         )
                     )
+                    # ONE host transfer for the whole segment's outputs
+                    # (9 per-array np.asarray syncs = 9 tunnel round
+                    # trips otherwise)
                     (losses, d_losses, ae_losses,
-                     p_s, p_t, p_c, y_s, y_t, y_c) = ys
-                    last_y = dict(src=np.asarray(y_s), tar=np.asarray(y_t),
-                                  cross=np.asarray(y_c))
+                     p_s, p_t, p_c, y_s, y_t, y_c) = jax.device_get(ys)
+                    last_y = dict(src=y_s, tar=y_t, cross=y_c)
                 else:
                     samples = [sample_epoch() for _ in range(k)]
                     stacked_idxs = {
@@ -972,7 +1021,8 @@ def train_adversarial(
                         params, batch_stats, opt_st, opt_d, seg_key,
                         stacked_idxs, stacked_y,
                     )
-                    losses, d_losses, ae_losses, p_s, p_t, p_c = ys
+                    (losses, d_losses, ae_losses,
+                     p_s, p_t, p_c) = jax.device_get(ys)
                     last_y = {
                         k2: np.asarray(stacked_y[k2][-1]) for k2 in stacked_y
                     }
