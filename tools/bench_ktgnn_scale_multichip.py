@@ -36,6 +36,15 @@ sys.path.insert(0, repo)
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_force_host_platform_device_count=8"
+    # XLA-CPU in-process collectives enforce a 40 s rendezvous
+    # termination timeout (rendezvous.cc) — at 1M+ nodes on a few host
+    # cores the 8 virtual shards legitimately take longer than that to
+    # reach the boundary all_to_all, which aborts the process. Raise
+    # the limits: this is a simulation-environment knob, not a TPU one
+    # (ICI collectives have no such in-process rendezvous).
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    + " --xla_cpu_collective_timeout_seconds=7200"
 ).strip()
 
 import jax  # noqa: E402

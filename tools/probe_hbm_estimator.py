@@ -111,6 +111,24 @@ def probe(n_nodes: int, hidden: int, msg_dtype):
         lay_leaves,
     ).compile()
     ma = compiled.memory_analysis()
+
+    # ground truth: RUN the step and read the allocator's live peak —
+    # memory_analysis is the buffer-assignment estimate; the runtime
+    # peak includes arguments, donation behavior and allocator slack
+    # (the r3 OOM at 524k reported 20.65 G where the assignment-level
+    # estimate extrapolates to ~12 G — this measurement resolves which
+    # number the auto policy must respect)
+    peak = before_peak = -1
+    try:
+        dev = jax.devices()[0]
+        before_peak = int(dev.memory_stats().get("peak_bytes_in_use", -1))
+        out = compiled(params, batch_stats, opt_state,
+                       jax.random.PRNGKey(1), g, adj, lay_leaves)
+        jax.block_until_ready(out)
+        peak = int(dev.memory_stats().get("peak_bytes_in_use", -1))
+    except Exception as e:  # noqa: BLE001 — backends without stats
+        print("peak probe unavailable:", e)
+
     lay = adj.fast_fn.lay_dst
     return dict(
         nodes=n_nodes, edges=e, hidden=hidden,
@@ -120,6 +138,8 @@ def probe(n_nodes: int, hidden: int, msg_dtype):
         est_bytes=int(est),
         xla_temp_bytes=int(ma.temp_size_in_bytes),
         xla_arg_bytes=int(ma.argument_size_in_bytes),
+        runtime_peak_bytes=peak,
+        runtime_peak_before_bytes=before_peak,
         ratio_est_over_xla=round(
             est / max(ma.temp_size_in_bytes, 1), 3
         ),
@@ -129,13 +149,24 @@ def probe(n_nodes: int, hidden: int, msg_dtype):
 
 def main():
     out = {"platform": jax.devices()[0].platform, "points": []}
+    # ascending expected peak: peak_bytes_in_use is process-cumulative,
+    # so each corner's runtime peak is observable only when it exceeds
+    # every earlier corner's
     grid = [
-        (131072, 64, None),
         (131072, 64, "bfloat16"),
-        (131072, 128, None),
         (131072, 128, "bfloat16"),
+        (131072, 64, None),
         (262144, 64, "bfloat16"),
+        (131072, 128, None),
         (262144, 128, None),
+        (393216, 64, "bfloat16"),
+        # the decisive point: r3's capacity ladder recorded plain OOM
+        # "20.65 G" at 524k bf16/H64, but the assignment-level estimate
+        # extrapolates to ~12 G — if this step RUNS, the capacity model
+        # was conservative by ~1.7x and gets recalibrated; if it OOMs,
+        # the ladder stands (incremental JSON writes keep earlier points
+        # either way)
+        (524288, 64, "bfloat16"),
     ]
     for n, h, md in grid:
         pt = probe(n, h, md)
