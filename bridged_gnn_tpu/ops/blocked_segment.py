@@ -886,6 +886,56 @@ def make_tiered_blocked_ops(
     )
 
 
+def tiered_ops_leaves(tops: TieredOps) -> dict:
+    """Array leaves of a TieredOps as a jit-passable pytree — the tiered
+    twin of :func:`blocked_ops_leaves` (same compile-hygiene rule: layout
+    arrays as jit arguments, not HLO constants)."""
+    def lay_leaves(lay):
+        return dict(other=lay.other_slot, rel=lay.rel_key,
+                    edge=lay.slot_edge, mask=lay.slot_mask)
+
+    out = dict(row_order=tops.row_order, inv_order=tops.inv_order)
+    for i, t in enumerate(tops.tiers):
+        out[f"t{i}"] = dict(
+            ld=lay_leaves(t.lay_dst), ls=lay_leaves(t.lay_src),
+            src_from_dst=t.src_from_dst,
+        )
+    return out
+
+
+def rebind_tiered_ops(leaves: dict, meta: TieredOps) -> TieredOps:
+    """Rebuild a TieredOps from (possibly traced) leaves + the static
+    dims of the host-built ``meta``. Call INSIDE the jitted step."""
+    def lay(ll, ml):
+        return PaddedLayout(
+            other_slot=ll["other"], rel_key=ll["rel"],
+            slot_edge=ll["edge"], slot_mask=ll["mask"],
+            node_block=ml.node_block, tile_e=ml.tile_e,
+            num_blocks=ml.num_blocks,
+            num_nodes_padded=ml.num_nodes_padded,
+        )
+
+    tiers = []
+    for i, t in enumerate(meta.tiers):
+        ll = leaves[f"t{i}"]
+        lay_dst = lay(ll["ld"], t.lay_dst)
+        lay_src = lay(ll["ls"], t.lay_src)
+        gather = make_slot_gather(lay_dst, lay_src, ll["src_from_dst"])
+
+        class _TierOps:
+            gather_slots = staticmethod(gather)
+
+        _TierOps.lay_dst = lay_dst
+        _TierOps.lay_src = lay_src
+        _TierOps.src_from_dst = ll["src_from_dst"]
+        tiers.append(_TierOps)
+    return meta._replace(
+        tiers=tuple(tiers),
+        row_order=leaves["row_order"],
+        inv_order=leaves["inv_order"],
+    )
+
+
 def permute_rows(x: jax.Array, perm: jax.Array,
                  inv_perm: jax.Array) -> jax.Array:
     """x[perm] with a permutation-aware backward (gather by the inverse,

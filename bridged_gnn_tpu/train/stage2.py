@@ -246,14 +246,17 @@ def _device_hbm_limit() -> int:
 
 
 def resolve_pass_layouts(adj, cfg: Stage2Config) -> bool:
-    if adj.fast_fn is None:
+    tiered = getattr(adj, "tiered_fn", None)
+    if adj.fast_fn is None and tiered is None:
         return False
     if cfg.pass_layouts is True or cfg.pass_layouts is False:
         return cfg.pass_layouts
     if cfg.pass_layouts != "auto":
         raise ValueError(f"pass_layouts: {cfg.pass_layouts!r}")
-    lay = adj.fast_fn.lay_dst
-    return lay.num_blocks * lay.tile_e > 2**20
+    if adj.fast_fn is not None:
+        lay = adj.fast_fn.lay_dst
+        return lay.num_blocks * lay.tile_e > 2**20
+    return tiered.slots_tiered > 2**20
 
 
 def resolve_memory_policy_sharded(part, g: Graph, cfg: Stage2Config,
@@ -425,18 +428,33 @@ def _train_ktgnn_impl(data, cfg):
     # engaged, the slot-layout arrays enter every jitted step as the
     # `lay_leaves` argument and the ops are re-bound inside the trace
     if not sharded and resolve_pass_layouts(adj, cfg):
-        from bridged_gnn_tpu.ops.blocked_segment import (
-            blocked_ops_leaves,
-            rebind_blocked_ops,
-        )
-
-        lay_leaves = blocked_ops_leaves(adj.fast_fn)
-        _meta_ops = adj.fast_fn
-
-        def materialize_adj(adj_in, leaves):
-            return adj_in.replace(
-                fast_fn=rebind_blocked_ops(leaves, _meta_ops)
+        if adj.fast_fn is not None:
+            from bridged_gnn_tpu.ops.blocked_segment import (
+                blocked_ops_leaves,
+                rebind_blocked_ops,
             )
+
+            lay_leaves = blocked_ops_leaves(adj.fast_fn)
+            _meta_ops = adj.fast_fn
+
+            def materialize_adj(adj_in, leaves):
+                return adj_in.replace(
+                    fast_fn=rebind_blocked_ops(leaves, _meta_ops)
+                )
+        else:
+            # degree-tiered layouts: same rule, tiered twin
+            from bridged_gnn_tpu.ops.blocked_segment import (
+                rebind_tiered_ops,
+                tiered_ops_leaves,
+            )
+
+            lay_leaves = tiered_ops_leaves(adj.tiered_fn)
+            _meta_tops = adj.tiered_fn
+
+            def materialize_adj(adj_in, leaves):
+                return adj_in.replace(
+                    tiered_fn=rebind_tiered_ops(leaves, _meta_tops)
+                )
     else:
         lay_leaves = None
 

@@ -131,3 +131,22 @@ def test_tiered_kernel_param_structure(rng):
     for a, b in zip(o1[:3], o2[:3]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_tiered_pass_layouts(rng):
+    """Compile hygiene extends to tiered layouts: with pass_layouts
+    forced on, the tiered slot arrays enter the jitted steps as
+    arguments (rebind_tiered_ops) and training matches the constant
+    form exactly."""
+    data = skewed_data(rng)
+    base = dict(hidden=16, num_epoch=6, dropout=0.0, log_every=0,
+                adjacency_method="tiered")
+    res_const = train_ktgnn(dict(data),
+                            Stage2Config(**base, pass_layouts=False))
+    res_args = train_ktgnn(dict(data),
+                           Stage2Config(**base, pass_layouts=True))
+    np.testing.assert_allclose(
+        [h["loss"] for h in res_args["history"]],
+        [h["loss"] for h in res_const["history"]], rtol=1e-6,
+    )
+    assert res_args["best"]["epoch"] == res_const["best"]["epoch"]
