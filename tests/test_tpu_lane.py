@@ -341,8 +341,13 @@ def test_stage1_device_sampling_on_chip():
         num_classes=4, avg_degree=6, seed=0,
     )
     src_d, tar_d, _, _ = dataset_conversion(dict(data), seed=0)
+    # enough epochs that cross-val pair F1 rises above zero: best only
+    # updates on val[4] > 0 (the reference's strictly-greater selection,
+    # scripts.py:524), and an 8-epoch run's all-negative cross
+    # predictions are fp-ordering-sensitive — the old 8-epoch form
+    # flipped between backends/compilers
     cfg = Stage1Config(
-        hidden_dim=32, num_epoch=8, start_eval_epoch=4, eval_per_epoch=4,
+        hidden_dim=32, num_epoch=24, start_eval_epoch=8, eval_per_epoch=4,
         sample_size=4096, max_class_num=4, sim_mode="mlp", backbone="mlp",
         eval_sample_size=4096, scan_epochs=4, device_sampling=True,
         repeat=1, seed=0,
