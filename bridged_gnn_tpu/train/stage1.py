@@ -878,6 +878,25 @@ def train_adversarial(
                 model, g_src, adj_src, g_tar, adj_tar, src_d, tar_d, cfg,
                 seed=seed,
             )
+            if cfg.start_eval_epoch > 1 and cfg.num_epoch > 1:
+                # prefetch-compile the fused evaluator on a background
+                # thread: its first real call lands at start_eval_epoch,
+                # long after training begins, so the (remote) XLA
+                # compile — ~1/3 of stage-1 wall on the tunneled chip —
+                # overlaps the first training segments instead of
+                # serializing after them. The dummy result is discarded;
+                # later calls hit the jit cache.
+                import threading
+
+                _v0 = {"params": params, "batch_stats": batch_stats}
+
+                def _warm_eval(ev=evaluator, v=_v0):
+                    try:
+                        ev.both(v, 0)
+                    except Exception:  # noqa: BLE001 — warmup is advisory
+                        pass
+
+                threading.Thread(target=_warm_eval, daemon=True).start()
         else:
             evaluator = Stage1Evaluator(
                 model, None, g_src, adj_src, g_tar, adj_tar, src_d, tar_d,
