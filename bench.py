@@ -161,8 +161,10 @@ def main():
     res = None
     samples = []
     bench_failures = 0
+    probe_failures = 0
     for i in range(attempts):
         if tunnel_alive():
+            probe_failures = 0
             got = bench_device("default")  # TPU when the tunnel is alive
             if got is not None:
                 samples.append(got)
@@ -182,11 +184,13 @@ def main():
                     print("# bench failed twice with the tunnel alive; "
                           "conceding to CPU fallback", file=sys.stderr)
                     break
-        if res is not None:
-            break  # keep what we have rather than burn the wedge window
+        else:
+            probe_failures += 1
+        if res is not None and probe_failures >= 2:
+            break  # have a sample; tunnel repeatedly unresponsive — stop
         print(f"# device attempt {i + 1}/{attempts} failed; retrying",
               file=sys.stderr)
-        time.sleep(90)
+        time.sleep(45 if res is not None else 90)
     if samples:
         print(
             "# samples (ms/iter): "
