@@ -77,14 +77,17 @@ class KTGNNPredictor:
 
     def predict(self) -> Dict[str, np.ndarray]:
         """Per-node log-probabilities from each head (real nodes only)."""
-        lp_s, lp_t, lp_that = self._predict(
+        # ONE host transfer for all three heads: per-array np.asarray is
+        # three blocking round trips on remote backends (measured 180 ms
+        # vs ~60 ms over the TPU tunnel, results_serve_tpu.json)
+        lp_s, lp_t, lp_that = jax.device_get(self._predict(
             self.variables, self.graph, self.adj
-        )
+        ))
         n = self.graph.num_nodes
         return dict(
-            source=np.asarray(lp_s)[:n],
-            target=np.asarray(lp_t)[:n],
-            target_hat=np.asarray(lp_that)[:n],
+            source=lp_s[:n],
+            target=lp_t[:n],
+            target_hat=lp_that[:n],
         )
 
     def predict_labels(self, head: str = "target_hat") -> np.ndarray:

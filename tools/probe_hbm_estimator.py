@@ -119,15 +119,25 @@ def probe(n_nodes: int, hidden: int, msg_dtype):
     # estimate extrapolates to ~12 G — this measurement resolves which
     # number the auto policy must respect)
     peak = before_peak = -1
-    try:
-        dev = jax.devices()[0]
-        before_peak = int(dev.memory_stats().get("peak_bytes_in_use", -1))
-        out = compiled(params, batch_stats, opt_state,
-                       jax.random.PRNGKey(1), g, adj, lay_leaves)
-        jax.block_until_ready(out)
-        peak = int(dev.memory_stats().get("peak_bytes_in_use", -1))
-    except Exception as e:  # noqa: BLE001 — backends without stats
-        print("peak probe unavailable:", e)
+    step_ran = False
+    dev = jax.devices()[0]
+
+    def _peak():
+        try:
+            stats = dev.memory_stats()
+            return int(stats.get("peak_bytes_in_use", -1)) if stats else -1
+        except Exception:  # noqa: BLE001 — backends without stats
+            return -1
+
+    before_peak = _peak()
+    # even without allocator stats (the axon backend returns None), the
+    # run-or-OOM outcome of executing the step IS the signal
+    out = compiled(params, batch_stats, opt_state,
+                   jax.random.PRNGKey(1), g, adj, lay_leaves)
+    jax.block_until_ready(out)
+    step_ran = True
+    del out
+    peak = _peak()
 
     lay = adj.fast_fn.lay_dst
     return dict(
@@ -140,6 +150,7 @@ def probe(n_nodes: int, hidden: int, msg_dtype):
         xla_arg_bytes=int(ma.argument_size_in_bytes),
         runtime_peak_bytes=peak,
         runtime_peak_before_bytes=before_peak,
+        step_ran=step_ran,
         ratio_est_over_xla=round(
             est / max(ma.temp_size_in_bytes, 1), 3
         ),
