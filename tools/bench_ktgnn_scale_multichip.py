@@ -89,9 +89,15 @@ def clustered_graph(n_nodes, deg=17, d=128, c=8, cross_frac=0.10, seed=0):
 
 def run_point(n_nodes, epochs=3):
     data = clustered_graph(n_nodes)
+    # past ~0.5M nodes the PLAIN per-shard residuals exceed what this
+    # host can simulate (the first 1M attempt was host-OOM-killed at
+    # 125 GB RSS: ~40 G XLA temps per program × train+eval programs);
+    # lean (recompute-backward) is the capacity config on real chips
+    # too — the same policy the r3 single-chip ceiling used
+    policy = "lean" if n_nodes > 600_000 else "auto"
     cfg = Stage2Config(
         hidden=64, num_epoch=epochs, scan_epochs=0, n_shards=N_SHARDS,
-        message_dtype="bfloat16", log_every=1,
+        message_dtype="bfloat16", log_every=1, memory_policy=policy,
     )
     # build the backend through the runtime but grab memory stats from
     # the compiled step: reuse internals for honest accounting
@@ -111,20 +117,16 @@ def run_point(n_nodes, epochs=3):
     t_part = time.time() - t0
     est = estimate_plain_hbm_per_shard(part, g, cfg)
 
-    t0 = time.time()
-    res = train_ktgnn(data, cfg)
-    t_total = time.time() - t0
+    # XLA per-device memory accounting FIRST (compile-only — no buffers
+    # execute), then free the analysis backend before the actual
+    # training run so its device arrays aren't co-resident
+    import gc
 
-    losses = [h["loss"] for h in res["history"]]
-    assert all(np.isfinite(losses)), losses
-    assert 0.0 <= res["best"]["test"] <= 1.0
-
-    # XLA per-device memory accounting of the jitted sharded train step
-    # (recompile via the runtime backend to pull stats)
-    from bridged_gnn_tpu.parallel.stage2_runtime import HaloStage2Backend
     from bridged_gnn_tpu.parallel.mesh import make_mesh
+    from bridged_gnn_tpu.parallel.stage2_runtime import HaloStage2Backend
     from bridged_gnn_tpu.train.optim import torch_adam
     from bridged_gnn_tpu.train.stage2 import (
+        _surrogate_init_graph,
         build_model,
         prepare_stage2_graph,
         resolve_memory_policy_sharded,
@@ -141,8 +143,6 @@ def run_point(n_nodes, epochs=3):
         make_mesh(N_SHARDS, ("nodes",)), model, g2, cfg, tx, num_classes,
         part=part,
     )
-    from bridged_gnn_tpu.train.stage2 import _surrogate_init_graph
-
     gi, adji = _surrogate_init_graph(g2.num_features, num_classes)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -160,6 +160,16 @@ def run_point(n_nodes, epochs=3):
         argument_bytes=int(ma.argument_size_in_bytes),
         output_bytes=int(ma.output_size_in_bytes),
     )
+    del backend, lowered, variables, params, bs, opt_state, g2
+    gc.collect()
+
+    t0 = time.time()
+    res = train_ktgnn(data, cfg)
+    t_total = time.time() - t0
+
+    losses = [h["loss"] for h in res["history"]]
+    assert all(np.isfinite(losses)), losses
+    assert 0.0 <= res["best"]["test"] <= 1.0
 
     slots = part.pd_blocks * part.pd_tile
     return dict(
@@ -195,9 +205,23 @@ def main():
             "(results_ktgnn_scale_r3.json, random graph, lean)",
         "points": [],
     }
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            out["points"] = [
+                p for p in prev.get("points", [])
+            ]
+        except Exception:  # noqa: BLE001 — corrupt partial file
+            pass
+    done = {p["nodes"] for p in out["points"]}
     sizes = [int(s) for s in os.environ.get(
         "BGNN_MC_NODES", "1048576,2097152").split(",")]
     for n in sizes:
+        if n in done:
+            print(f"=== {n} nodes: already in artifact, skipping ===",
+                  flush=True)
+            continue
         print(f"=== {n} nodes ===", flush=True)
         pt = run_point(n)
         out["points"].append(pt)
