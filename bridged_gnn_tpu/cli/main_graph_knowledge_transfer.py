@@ -60,10 +60,12 @@ def build_argparser() -> argparse.ArgumentParser:
     # operational numerics guard: finite params/loss + attention-logit
     # spread inside the block-max softmax envelope at every eval boundary
     ap.add_argument("--check_numerics", action="store_true")
-    # HBM policy: auto (default) engages remat + recompute-backward only
-    # when the estimated plain footprint exceeds ~80% of device HBM
+    # HBM policy: auto (default) picks the fastest of three tiers that
+    # fits ~80% of device HBM — plain (Mosaic kernels + stored
+    # residuals), xla_plain (kernels off, stored residuals; ~30% less
+    # HBM), lean (recompute-backward + remat, the capacity config)
     ap.add_argument("--memory_policy", type=str, default="auto",
-                    choices=["auto", "plain", "lean"])
+                    choices=["auto", "plain", "xla_plain", "lean"])
     # capture an XLA profiler trace of the whole training run into this
     # directory (TensorBoard/XProf-viewable; SURVEY §5.1)
     ap.add_argument("--profile_dir", type=str, default=None)

@@ -82,14 +82,13 @@ class Stage2Config:
     # §2). Output is cast back to f32 before BN; ~1e-2 activation drift.
     # None = parity (messages keep the feature dtype)
     message_dtype: Optional[str] = None
-    # HBM policy for KTGNN-family training: 'plain' = store autodiff
-    # residuals (parity default), 'lean' = jax.checkpoint on the convs +
-    # recompute-backward attention (the measured capacity config:
-    # 590k nodes / 10M edges on one v5e — DESIGN.md §9), 'auto' =
-    # estimate the plain footprint from the slot-layout dims (calibrated
-    # on the measured OOM ladder) and engage lean only when it exceeds
-    # ~80% of the device HBM — identical to plain on every graph that
-    # fits plainly
+    # HBM policy for KTGNN-family training (resolve_memory_mode):
+    # 'plain' = Mosaic kernels + stored residuals (fastest; parity
+    # default), 'xla_plain' = kernels off / stored residuals (~30% less
+    # HBM — the 524k/8.9M graph the old 2-tier policy sent to lean
+    # actually fits here, round-4 on-chip probe), 'lean' =
+    # jax.checkpoint + recompute-backward (the capacity config), 'auto'
+    # = fastest tier whose calibrated estimate fits ~80% of device HBM
     memory_policy: str = "auto"
     # pass the blocked slot-layout arrays through jit as ARGUMENTS
     # (ops/blocked_segment.rebind_blocked_ops) instead of HLO constants:
@@ -210,14 +209,26 @@ def prepare_stage2_graph(
     return g, adj
 
 
-def estimate_plain_hbm(g: Graph, adj, cfg: Stage2Config) -> int:
+def estimate_plain_hbm(g: Graph, adj, cfg: Stage2Config,
+                       kernel_path: bool = True) -> int:
     """Estimated peak HBM bytes of the PLAIN (stored-residual) KT-GNN
-    train step. Dominant term: ~7.5 live copies of the widest conv's
-    [slots, 2*hidden] message-space tensors (autodiff residuals +
-    backward temporaries), plus features/activations and the slot
-    layouts. Calibrated against the measured ladder
-    (results_ktgnn_scale_r3.json): predicts 20.6G at 524k nodes/8.9M
-    edges where XLA reported 20.65G."""
+    train step. Dominant term: live copies of the widest conv's
+    [slots, 2*hidden] message-space tensors (residuals + backward
+    temporaries), plus features/activations and the slot layouts.
+
+    Two calibrated constants (VERDICT r3 item 7,
+    tools/probe_hbm_estimator.json):
+
+    * ``kernel_path=True`` (Mosaic fwd/bwd kernels): ~7.5 copies — the
+      kernel backward stores the [B,Et,2D] residual stack; matches the
+      r3 OOM ladder (predicted 20.6G at 524k/8.9M where XLA reported
+      20.65G).
+    * ``kernel_path=False`` (XLA autodiff fused path): ~5.2 copies —
+      the round-4 on-chip probe measured XLA buffer-assignment peaks of
+      2.90/9.50/12.66 GiB at 131k/393k/524k (bf16, hidden 64) and the
+      524k plain step EXECUTED on the chip; 5.2 upper-bounds every
+      probed corner by 4-17%.
+    """
     if adj.fast_fn is not None:
         lay = adj.fast_fn.lay_dst
         slots = lay.num_blocks * lay.tile_e
@@ -227,8 +238,9 @@ def estimate_plain_hbm(g: Graph, adj, cfg: Stage2Config) -> int:
         return 0
     msg_item = 2 if cfg.message_dtype == "bfloat16" else 4
     d_in = g.x.shape[1]
+    copies = 7.5 if kernel_path else 5.2
     return int(
-        7.5 * slots * 2 * cfg.hidden * msg_item     # bwd message space
+        copies * slots * 2 * cfg.hidden * msg_item  # bwd message space
         + 4 * g.num_nodes_padded * d_in * 4         # features/activations
         + 7 * slots * 4                             # 2 layouts, int arrays
     )
@@ -276,21 +288,87 @@ def resolve_memory_policy_sharded(part, g: Graph, cfg: Stage2Config,
     return estimator(part, g, cfg) > 0.8 * _device_hbm_limit()
 
 
-def resolve_memory_policy(g: Graph, adj, cfg: Stage2Config) -> bool:
-    """True = lean (remat + recompute-backward attention)."""
-    if cfg.memory_policy == "lean":
-        return True
-    if cfg.memory_policy == "plain":
-        return False
+def resolve_memory_mode(g: Graph, adj, cfg: Stage2Config,
+                        hbm_limit: Optional[int] = None,
+                        on_tpu: Optional[bool] = None) -> str:
+    """Three-tier HBM policy for the single-device KT-GNN runtime
+    (VERDICT r3 item 7 recalibration):
+
+      'plain'     — Mosaic kernels (when the VMEM gates admit them) +
+                    stored residuals: fastest, biggest footprint
+                    (~7.5 msg-space copies, r3-OOM-calibrated);
+      'xla_plain' — kernels OFF, XLA autodiff fused path with stored
+                    residuals (~5.2 copies, round-4 on-chip probe —
+                    the 524k/8.9M plain step that the old policy sent
+                    to lean actually executes on a v5e at 12.66 G);
+      'lean'      — recompute-backward + remat (the capacity config).
+
+    auto picks the fastest tier whose estimate fits in ~80% of HBM.
+    ``hbm_limit`` / ``on_tpu`` exist for tests; defaults read the
+    device."""
+    if cfg.memory_policy in ("plain", "xla_plain", "lean"):
+        return cfg.memory_policy
     if cfg.memory_policy != "auto":
         raise ValueError(f"memory_policy: {cfg.memory_policy!r}")
-    if jax.default_backend() != "tpu":
-        return False  # host backends page; the estimate is TPU-specific
-    return estimate_plain_hbm(g, adj, cfg) > 0.8 * _device_hbm_limit()
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return "plain"  # host backends page; the estimate is TPU-specific
+    budget = 0.8 * (hbm_limit if hbm_limit is not None
+                    else _device_hbm_limit())
+    from bridged_gnn_tpu.ops import pallas_fused
+
+    if pallas_fused.auto_kernel():
+        if estimate_plain_hbm(g, adj, cfg, kernel_path=True) <= budget:
+            return "plain"
+    if estimate_plain_hbm(g, adj, cfg, kernel_path=False) <= budget:
+        return "xla_plain"
+    return "lean"
+
+
+def resolve_memory_policy(g: Graph, adj, cfg: Stage2Config) -> bool:
+    """True = lean (remat + recompute-backward attention). Back-compat
+    boolean view of :func:`resolve_memory_mode`."""
+    return resolve_memory_mode(g, adj, cfg) == "lean"
 
 
 def build_model(cfg: Stage2Config, num_classes: int, lean: bool = False,
-                lean_remat: bool = True):
+                lean_remat: bool = True, mode: Optional[str] = None):
+    """``mode`` (three-tier policy, resolve_memory_mode): overrides the
+    boolean ``lean`` — 'plain' = default kernels-when-they-fit,
+    'xla_plain' = kernels off / stored residuals, 'lean' = recompute +
+    remat."""
+    if mode == "lean":
+        lean = True
+    elif mode == "xla_plain":
+        if cfg.model_name == "KTGNN" and not cfg.no_dtc:
+            return _build_ktgnn(cfg, num_classes,
+                                dict(fused_kernel_fwd=False,
+                                     fused_kernel_bwd=False))
+    elif mode == "plain":
+        lean = False
+    return _build_model_impl(cfg, num_classes, lean, lean_remat)
+
+
+def _build_ktgnn(cfg: Stage2Config, num_classes: int, extra_kw: dict):
+    return KTGNN(
+        num_classes=num_classes,
+        layer_num=cfg.num_layer,
+        hidden=cfg.hidden,
+        root_weight=cfg.root_weight,
+        dropout=cfg.dropout,
+        use_bn=cfg.use_bn,
+        need_complement=cfg.need_complement,
+        dim_share=cfg.dim_share,
+        step=cfg.complement_step,
+        use_dist_loss=cfg.use_dist_loss,
+        msg_dtype=cfg.message_dtype,
+        **extra_kw,
+    )
+
+
+def _build_model_impl(cfg: Stage2Config, num_classes: int,
+                      lean: bool = False, lean_remat: bool = True):
     # reference --no_dtc recipe trains a plain single-head model
     # (GraphSAGE in the run.sh configs); KTGNN_noDTC is the single-head
     # KT-GNN selected when the model name says so
@@ -320,20 +398,7 @@ def build_model(cfg: Stage2Config, num_classes: int, lean: bool = False,
             # the dominant term anyway
             lean_kw = dict(remat=lean_remat, fused_recompute_bwd=True,
                            fused_kernel_fwd=False, fused_kernel_bwd=False)
-        return KTGNN(
-            num_classes=num_classes,
-            layer_num=cfg.num_layer,
-            hidden=cfg.hidden,
-            root_weight=cfg.root_weight,
-            dropout=cfg.dropout,
-            use_bn=cfg.use_bn,
-            need_complement=cfg.need_complement,
-            dim_share=cfg.dim_share,
-            step=cfg.complement_step,
-            use_dist_loss=cfg.use_dist_loss,
-            msg_dtype=cfg.message_dtype,
-            **lean_kw,
-        )
+        return _build_ktgnn(cfg, num_classes, lean_kw)
     from bridged_gnn_tpu.nn import backbones
 
     if cfg.message_dtype is not None:
@@ -412,17 +477,22 @@ def _train_ktgnn_impl(data, cfg):
         # residuals shrink 1/n but node terms don't — reuse the
         # single-device estimator shape with slots/n
         lean = cfg.memory_policy == "lean"
+    if sharded:
+        mem_mode = "lean" if lean else "plain"
+        model = build_model(cfg, num_classes, lean=lean,
+                            lean_remat=False)
     else:
-        lean = (
-            resolve_memory_policy(g, adj, cfg)
+        mem_mode = (
+            resolve_memory_mode(g, adj, cfg)
             if cfg.model_name == "KTGNN" and not cfg.no_dtc
-            else False
+            else "plain"
         )
-    if lean and cfg.log_every:
-        print("[memory_policy] lean engaged: recompute-backward"
-              + ("" if sharded else " + remat"))
-    model = build_model(cfg, num_classes, lean=lean,
-                        lean_remat=not sharded)
+        model = build_model(cfg, num_classes, mode=mem_mode)
+    if mem_mode != "plain" and cfg.log_every:
+        print(f"[memory_policy] {mem_mode} engaged"
+              + (" (recompute-backward"
+                 + ("" if sharded else " + remat") + ")"
+                 if mem_mode == "lean" else " (kernels off)"))
 
     # layout argument-passing (compile hygiene; DESIGN.md §9): when
     # engaged, the slot-layout arrays enter every jitted step as the

@@ -437,3 +437,44 @@ def test_fused_attention_kernel_wide_shapes_on_chip(rng, d, msg_dtype):
         assert np.isfinite(a).all()
         sc2 = max(np.abs(b).max(), 1e-6)
         assert np.abs(a - b).max() / sc2 < tol_b
+
+
+@pytest.mark.tpu
+def test_auto_memory_policy_never_ooms_where_plain_chosen():
+    """VERDICT r3 item 7 done-criterion: near the tier threshold, when
+    the auto policy keeps a stored-residual tier (plain/xla_plain), one
+    real train step must execute without OOM on the chip. 393k nodes /
+    6.7M edges sits in the band the old 2-tier policy sent to lean; the
+    recalibrated policy keeps xla_plain there (measured assignment peak
+    9.50 G of 15.75 G HBM)."""
+    import numpy as np
+
+    from bridged_gnn_tpu.train.stage2 import (
+        Stage2Config,
+        prepare_stage2_graph,
+        resolve_memory_mode,
+        train_ktgnn,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 393216
+    e = 17 * n
+    data = dict(
+        x=rng.normal(size=(n, 128)).astype(np.float32),
+        edge_index=np.stack([rng.integers(0, n, size=e),
+                             rng.integers(0, n, size=e)]),
+        y=rng.integers(0, 8, size=n).astype(np.int64),
+        train_mask=rng.random(n) < 0.6,
+        val_mask=rng.random(n) < 0.1,
+        test_mask=rng.random(n) < 0.1,
+        central_mask=np.arange(n) % 2 == 0,
+    )
+    cfg = Stage2Config(hidden=64, num_epoch=1, message_dtype="bfloat16",
+                       matmul_precision="default", log_every=1)
+    g, adj = prepare_stage2_graph(data, cfg)
+    mode = resolve_memory_mode(g, adj, cfg)
+    assert mode in ("plain", "xla_plain", "lean")
+    # the recalibration's point: this size must NOT need lean
+    assert mode != "lean", mode
+    res = train_ktgnn(data, cfg)
+    assert np.isfinite([h["loss"] for h in res["history"]]).all()

@@ -95,9 +95,15 @@ def run_point(n_nodes, epochs=3):
     # lean (recompute-backward) is the capacity config on real chips
     # too — the same policy the r3 single-chip ceiling used
     policy = "lean" if n_nodes > 600_000 else "auto"
+    # scan mode: ONE compiled program (train+eval fused per epoch,
+    # counts-based device eval) instead of two separately-arena'd
+    # programs — the XLA-CPU allocator holds each program's temp arena,
+    # and at 1M nodes the train (36.8 G) + eval (15.8 G) arenas plus
+    # compile-time memory tipped the 125 G host over
     cfg = Stage2Config(
-        hidden=64, num_epoch=epochs, scan_epochs=0, n_shards=N_SHARDS,
-        message_dtype="bfloat16", log_every=1, memory_policy=policy,
+        hidden=64, num_epoch=epochs, scan_epochs=epochs,
+        n_shards=N_SHARDS, message_dtype="bfloat16", log_every=1,
+        memory_policy=policy,
     )
     # build the backend through the runtime but grab memory stats from
     # the compiled step: reuse internals for honest accounting
