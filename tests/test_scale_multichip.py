@@ -31,9 +31,14 @@ def test_past_ceiling_point_trained(artifact):
     big = [p for p in artifact["points"] if p["edges"] > 10_000_000]
     if not big:
         pytest.skip(
-            "capacity artifact incomplete (no >10M-edge point yet) — "
-            "tools/bench_ktgnn_scale_multichip.py still running or "
-            "needs a re-run"
+            "capacity artifact has no >10M-edge point — XLA-CPU's "
+            "compile of the 8-virtual-device halo step grows ~linearly "
+            "with graph size and host-OOMs this 125 GB simulation host "
+            "at ~655k nodes / 11.8M edges (three instrumented attempts, "
+            "~122-130 GB RSS, policy-independent; see "
+            "tools/bench_ktgnn_scale_multichip.py). Re-run the tool on "
+            "a larger host, or on a real multi-chip slice where this "
+            "compile path is not the bottleneck"
         )
     for p in big:
         losses = p["losses"]

@@ -87,21 +87,62 @@ def clustered_graph(n_nodes, deg=17, d=128, c=8, cross_frac=0.10, seed=0):
     )
 
 
+def _rss_gib():
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 2**20
+    return 0.0
+
+
+_PHASE = {"name": "start"}
+
+
+def _rss_sampler():
+    import threading
+
+    def loop():
+        while True:
+            print(f"[rss] {_PHASE['name']}: {_rss_gib():.1f} GiB",
+                  flush=True)
+            time.sleep(15)
+
+    threading.Thread(target=loop, daemon=True).start()
+
+
 def run_point(n_nodes, epochs=3):
+    _PHASE["name"] = "graph_build"
     data = clustered_graph(n_nodes)
-    # past ~0.5M nodes the PLAIN per-shard residuals exceed what this
-    # host can simulate (the first 1M attempt was host-OOM-killed at
-    # 125 GB RSS: ~40 G XLA temps per program × train+eval programs);
-    # lean (recompute-backward) is the capacity config on real chips
-    # too — the same policy the r3 single-chip ceiling used
-    policy = "lean" if n_nodes > 600_000 else "auto"
+    # PLAIN per shard is the partition's whole story: at 655k nodes the
+    # per-shard plain estimate (~5.2 GiB) fits a real chip's 15.75 GiB
+    # HBM where even the leanest single-chip config OOMs. Simulation
+    # limit (round 4, measured with the [rss] sampler below): XLA-CPU's
+    # compile of the 8-virtual-device halo step grows ~linearly with
+    # graph size and host-OOM-killed three instrumented 655k/11.8M
+    # attempts at ~122-130 GB RSS during the train-phase compile —
+    # scan and non-scan, lean and plain alike (so it is NOT the remat/
+    # recompute HLO, and not execute arenas: no epoch had run). The
+    # real-TPU compile path does not share the hazard (measured flat
+    # 10-21 s to 590k single-chip with arrays passed as jit args).
+    # On this 125 GB / 4-core host the largest compilable point is
+    # therefore just past the 10M-edge single-chip ceiling, not 1M+
+    # nodes.
+    policy = os.environ.get("BGNN_MC_POLICY", "auto")
+    epochs = int(os.environ.get("BGNN_MC_EPOCHS", str(epochs)))
     # scan mode: ONE compiled program (train+eval fused per epoch,
     # counts-based device eval) instead of two separately-arena'd
     # programs — the XLA-CPU allocator holds each program's temp arena,
     # and at 1M nodes the train (36.8 G) + eval (15.8 G) arenas plus
     # compile-time memory tipped the 125 G host over
+    # scan fusion puts train+eval+counts in ONE HLO program — past ~0.5M
+    # nodes XLA-CPU's compile of that fused 8-device program is itself
+    # the host-memory hazard (the 655k scan attempt was OOM-killed at
+    # 130 GB during compile); BGNN_MC_SCAN=0 compiles the train and eval
+    # steps as separate smaller programs (their execute arenas co-reside
+    # instead, which is the cheaper side of the trade at this scale)
+    scan = int(os.environ.get("BGNN_MC_SCAN", "1"))
     cfg = Stage2Config(
-        hidden=64, num_epoch=epochs, scan_epochs=epochs,
+        hidden=64, num_epoch=epochs, scan_epochs=epochs if scan else 0,
         n_shards=N_SHARDS, message_dtype="bfloat16", log_every=1,
         memory_policy=policy,
     )
@@ -117,58 +158,82 @@ def run_point(n_nodes, epochs=3):
     d2 = dict(data)
     d2["train_mask"] = np.asarray(d2["train_mask"]).copy()
     d2["train_mask"][np.asarray(d2["y"]) == -1] = False
+    _PHASE["name"] = "partition_build"
     g = with_self_loops(graph_from_dict(d2))
     t0 = time.time()
     part = build_halo_partition(g, N_SHARDS)
     t_part = time.time() - t0
     est = estimate_plain_hbm_per_shard(part, g, cfg)
+    edges_real = int(np.asarray(g.edge_mask).sum())
+    part_summary = dict(
+        rows=part.rows, ext_len=part.ext_len,
+        halo_rows_real=part.halo_rows_real, e_shard=part.e_shard,
+        dst_slots_per_shard=int(part.pd_blocks * part.pd_tile),
+        build_s=round(t_part, 1),
+    )
 
-    # XLA per-device memory accounting FIRST (compile-only — no buffers
-    # execute), then free the analysis backend before the actual
-    # training run so its device arrays aren't co-resident
     import gc
 
-    from bridged_gnn_tpu.parallel.mesh import make_mesh
-    from bridged_gnn_tpu.parallel.stage2_runtime import HaloStage2Backend
-    from bridged_gnn_tpu.train.optim import torch_adam
-    from bridged_gnn_tpu.train.stage2 import (
-        _surrogate_init_graph,
-        build_model,
-        prepare_stage2_graph,
-        resolve_memory_policy_sharded,
-    )
+    # XLA per-device memory accounting (compile-only — no buffers
+    # execute), freed before the actual training run so the analysis
+    # backend isn't co-resident. BGNN_MC_SKIP_MA=1 skips it entirely:
+    # past ~0.5M nodes this second full compile is pure host-memory
+    # overhead on the 125 GB simulation host (the artifact consumer,
+    # tests/test_scale_multichip.py, tolerates a missing
+    # xla_memory_analysis field).
+    mem = None
+    if not int(os.environ.get("BGNN_MC_SKIP_MA", "0")):
+        _PHASE["name"] = "memory_analysis_compile"
+        from bridged_gnn_tpu.parallel.mesh import make_mesh
+        from bridged_gnn_tpu.parallel.stage2_runtime import (
+            HaloStage2Backend,
+        )
+        from bridged_gnn_tpu.train.optim import torch_adam
+        from bridged_gnn_tpu.train.stage2 import (
+            _surrogate_init_graph,
+            build_model,
+            prepare_stage2_graph,
+            resolve_memory_policy_sharded,
+        )
 
-    g2, _ = prepare_stage2_graph(data, cfg, build_adj=False)
-    num_classes = int(np.asarray(g2.y).max()) + 1
-    lean = resolve_memory_policy_sharded(
-        part, g2, cfg, estimate_plain_hbm_per_shard
-    )
-    model = build_model(cfg, num_classes, lean=lean, lean_remat=False)
-    tx = torch_adam(cfg.lr, weight_decay=cfg.weight_decay)
-    backend = HaloStage2Backend(
-        make_mesh(N_SHARDS, ("nodes",)), model, g2, cfg, tx, num_classes,
-        part=part,
-    )
-    gi, adji = _surrogate_init_graph(g2.num_features, num_classes)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        gi, adji, False,
-    )
-    params = variables["params"]
-    bs = variables["batch_stats"]
-    opt_state = tx.init(params)
-    lowered = backend._train_step.lower(
-        params, bs, opt_state, jax.random.PRNGKey(2), *backend._args()
-    )
-    ma = lowered.compile().memory_analysis()
-    mem = dict(
-        temp_bytes=int(ma.temp_size_in_bytes),
-        argument_bytes=int(ma.argument_size_in_bytes),
-        output_bytes=int(ma.output_size_in_bytes),
-    )
-    del backend, lowered, variables, params, bs, opt_state, g2
+        g2, _ = prepare_stage2_graph(data, cfg, build_adj=False)
+        num_classes = int(np.asarray(g2.y).max()) + 1
+        lean = resolve_memory_policy_sharded(
+            part, g2, cfg, estimate_plain_hbm_per_shard
+        )
+        model = build_model(cfg, num_classes, lean=lean, lean_remat=False)
+        tx = torch_adam(cfg.lr, weight_decay=cfg.weight_decay)
+        backend = HaloStage2Backend(
+            make_mesh(N_SHARDS, ("nodes",)), model, g2, cfg, tx,
+            num_classes, part=part,
+        )
+        gi, adji = _surrogate_init_graph(g2.num_features, num_classes)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            gi, adji, False,
+        )
+        params = variables["params"]
+        bs = variables["batch_stats"]
+        opt_state = tx.init(params)
+        lowered = backend._train_step.lower(
+            params, bs, opt_state, jax.random.PRNGKey(2), *backend._args()
+        )
+        ma = lowered.compile().memory_analysis()
+        mem = dict(
+            temp_bytes=int(ma.temp_size_in_bytes),
+            argument_bytes=int(ma.argument_size_in_bytes),
+            output_bytes=int(ma.output_size_in_bytes),
+        )
+        del backend, lowered, variables, params, bs, opt_state, g2
+        gc.collect()
+
+    # the training run rebuilds graph + partition internally — drop the
+    # accounting prelude's copies so they aren't co-resident
+    del g, part, d2
     gc.collect()
 
+    _PHASE["name"] = "train"
     t0 = time.time()
     res = train_ktgnn(data, cfg)
     t_total = time.time() - t0
@@ -177,20 +242,13 @@ def run_point(n_nodes, epochs=3):
     assert all(np.isfinite(losses)), losses
     assert 0.0 <= res["best"]["test"] <= 1.0
 
-    slots = part.pd_blocks * part.pd_tile
-    return dict(
+    pt = dict(
         nodes=n_nodes,
-        edges=int(np.asarray(g.edge_mask).sum()),
+        edges=edges_real,
         n_shards=N_SHARDS,
-        lean=bool(lean),
-        partition=dict(
-            rows=part.rows, ext_len=part.ext_len,
-            halo_rows_real=part.halo_rows_real, e_shard=part.e_shard,
-            dst_slots_per_shard=int(slots),
-            build_s=round(t_part, 1),
-        ),
+        lean=(policy == "lean"),
+        partition=part_summary,
         est_plain_hbm_per_shard_gib=round(est / 2**30, 2),
-        xla_memory_analysis=mem,
         epochs=epochs,
         losses=[round(float(v), 4) for v in losses],
         best=dict(
@@ -200,9 +258,13 @@ def run_point(n_nodes, epochs=3):
         mean_epoch_s=round(res["mean_epoch_time"], 2),
         total_s=round(t_total, 1),
     )
+    if mem is not None:
+        pt["xla_memory_analysis"] = mem
+    return pt
 
 
 def main():
+    _rss_sampler()
     out = {
         "platform": "cpu (8 virtual devices; capacity accounting via "
                     "XLA memory_analysis, which is backend-portable)",
