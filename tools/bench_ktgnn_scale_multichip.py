@@ -124,9 +124,10 @@ def run_point(n_nodes, epochs=3):
     # recompute HLO, and not execute arenas: no epoch had run). The
     # real-TPU compile path does not share the hazard (measured flat
     # 10-21 s to 590k single-chip with arrays passed as jit args).
-    # On this 125 GB / 4-core host the largest compilable point is
-    # therefore just past the 10M-edge single-chip ceiling, not 1M+
-    # nodes.
+    # A 557k/10.03M plain attempt (just past the 10M bar) also died at
+    # ~120+ GB: on this 125 GB / 4-core host the compile wall sits
+    # BELOW the single-chip ceiling, so the >10M-edge trained point
+    # needs a larger simulation host or a real slice.
     policy = os.environ.get("BGNN_MC_POLICY", "auto")
     epochs = int(os.environ.get("BGNN_MC_EPOCHS", str(epochs)))
     # scan mode: ONE compiled program (train+eval fused per epoch,
