@@ -119,10 +119,11 @@ def test_remat_recompute_composition(rng):
 
 
 def test_memory_policy_resolution(rng):
-    """auto = plain on graphs that fit, lean past ~80% of HBM; the
-    estimator is calibrated on the measured OOM ladder (predicts 20.6G
-    at 524k nodes / 8.9M edges where XLA reported 20.65G)."""
-    import jax
+    """Three-tier auto policy (resolve_memory_mode, round-4
+    recalibration): auto picks the fastest tier whose calibrated
+    estimate fits in ~80% of HBM — 'plain' (Mosaic kernels, ~7.5
+    msg-space copies), then 'xla_plain' (kernels off, ~5.2 copies),
+    then 'lean' (recompute + remat) as the unconditional fallback."""
     from unittest import mock
 
     from bridged_gnn_tpu.graph import build_graph
@@ -130,6 +131,7 @@ def test_memory_policy_resolution(rng):
     from bridged_gnn_tpu.train.stage2 import (
         Stage2Config,
         estimate_plain_hbm,
+        resolve_memory_mode,
         resolve_memory_policy,
     )
 
@@ -147,33 +149,56 @@ def test_memory_policy_resolution(rng):
     # dominant term: 7.5 live copies of [slots, 2*hidden] bf16
     assert est >= 7.5 * slots * 2 * 64 * 2
 
-    # explicit overrides
-    assert resolve_memory_policy(g, adj, cfg) is False or True  # runs
+    # explicit overrides: all three tiers pass straight through, and the
+    # boolean back-compat view means "resolved to lean"
+    for tier in ("plain", "xla_plain", "lean"):
+        assert resolve_memory_mode(
+            g, adj, Stage2Config(memory_policy=tier)) == tier
     assert resolve_memory_policy(
-        g, adj, Stage2Config(memory_policy="lean")
-    ) is True
+        g, adj, Stage2Config(memory_policy="lean")) is True
     assert resolve_memory_policy(
-        g, adj, Stage2Config(memory_policy="plain")
-    ) is False
+        g, adj, Stage2Config(memory_policy="plain")) is False
+    assert resolve_memory_policy(
+        g, adj, Stage2Config(memory_policy="xla_plain")) is False
 
-    # auto thresholds (force the tpu branch + a fake limit)
-    with mock.patch.object(jax, "default_backend", return_value="tpu"):
-        import bridged_gnn_tpu.train.stage2 as s2
+    # auto tier boundaries (on_tpu + hbm_limit injected; the Mosaic
+    # gate mocked open so the 'plain' tier is reachable off-chip)
+    est_kernel = estimate_plain_hbm(g, adj, cfg, kernel_path=True)
+    est_xla = estimate_plain_hbm(g, adj, cfg, kernel_path=False)
+    assert est_xla < est_kernel  # 5.2 vs 7.5 msg-space copies
 
-        with mock.patch.object(s2, "_device_hbm_limit",
-                               return_value=int(est / 0.8) + 1):
-            assert resolve_memory_policy(
-                g, adj, Stage2Config(
-                    hidden=64, message_dtype="bfloat16",
-                    memory_policy="auto")
-            ) is False
-        with mock.patch.object(s2, "_device_hbm_limit",
-                               return_value=int(est / 0.8) - 1000):
-            assert resolve_memory_policy(
-                g, adj, Stage2Config(
-                    hidden=64, message_dtype="bfloat16",
-                    memory_policy="auto")
-            ) is True
+    from bridged_gnn_tpu.ops import pallas_fused
+
+    auto = Stage2Config(hidden=64, message_dtype="bfloat16",
+                        memory_policy="auto")
+
+    with mock.patch.object(pallas_fused, "auto_kernel", return_value=True):
+        # everything fits -> plain (fastest tier)
+        assert resolve_memory_mode(
+            g, adj, auto, hbm_limit=int(est_kernel / 0.8) + 8,
+            on_tpu=True) == "plain"
+        # kernel-path estimate over budget, XLA estimate under -> middle tier
+        assert resolve_memory_mode(
+            g, adj, auto, hbm_limit=int(est_kernel / 0.8) - 1000,
+            on_tpu=True) == "xla_plain"
+        # even the XLA stored-residual estimate over budget -> lean
+        assert resolve_memory_mode(
+            g, adj, auto, hbm_limit=int(est_xla / 0.8) - 1000,
+            on_tpu=True) == "lean"
+        # and a limit below ANY estimate still resolves (lean is the
+        # unconditional capacity fallback, never an error)
+        assert resolve_memory_mode(
+            g, adj, auto, hbm_limit=1, on_tpu=True) == "lean"
+
+    # with the Mosaic gate closed the plain tier is unreachable: a
+    # kernel-sized budget resolves to xla_plain instead
+    with mock.patch.object(pallas_fused, "auto_kernel", return_value=False):
+        assert resolve_memory_mode(
+            g, adj, auto, hbm_limit=int(est_kernel / 0.8) + 8,
+            on_tpu=True) == "xla_plain"
+
+    # host backends page: auto stays plain off-TPU
+    assert resolve_memory_mode(g, adj, auto, on_tpu=False) == "plain"
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="memory_policy"):
