@@ -20,7 +20,12 @@ Documented intentional deviation: the reference coalesces proposed edges
 filter thresholds act on a misaligned edge↔sim pairing whenever coalesce
 reorders (main_bridged_graph.py:75 + :235-239). We filter on the flat
 (row-major, sim-aligned) proposals and coalesce afterwards — same filters,
-correctly aligned.
+correctly aligned. ``gen_bridged_graph(reference_compat=True)`` reproduces
+the reference's exact sequencing instead (sort edges into PyG-coalesce
+order FIRST, then filter with the row-major sim vector): it exists so the
+shipped office bridged graphs can be regenerated edge-for-edge from the
+shipped checkpoints (tests/test_bridge_repro.py) and so the effect of the
+alignment fix is quantifiable (tools/repro_office_bridge.py).
 """
 
 from __future__ import annotations
@@ -353,6 +358,16 @@ def propose_within_edges(
     return edge_index, vals
 
 
+def _pyg_coalesce_order(edge_index: np.ndarray) -> np.ndarray:
+    """Sort edges by (src, dst) — the order ``torch_geometric.utils.coalesce``
+    leaves top-k proposals in (key = row·N + col, sort_by_row=True). Top-k
+    proposal sets contain no duplicates (indices are unique per row and the
+    destination differs across rows), so the reference's coalesce is a pure
+    lexicographic sort there."""
+    order = np.lexsort((edge_index[1], edge_index[0]))
+    return edge_index[:, order]
+
+
 def check_cross_validity(
     edge_index: np.ndarray,
     e_sim: np.ndarray,
@@ -458,11 +473,19 @@ def gen_bridged_graph(
     thres_conf_quantile: float = 0.1, thres_feat_sim: float = 0.0,
     sim_mode: str = "mlp", epsilon: float = 0.5, row_block: int = 512,
     mesh=None, verbose: bool = False, approx_recall=None,
-    rerank_candidates=None,
+    rerank_candidates=None, reference_compat: bool = False,
 ) -> Dict[str, np.ndarray]:
     """End-to-end bridge construction (reference
     main_bridged_graph.py:267-321). Returns the merged + reordered graph
-    dict ready for stage 2 or serialization."""
+    dict ready for stage 2 or serialization.
+
+    ``reference_compat=True`` replays the reference's exact filter
+    sequencing: proposals are sorted into PyG-coalesce (src, dst) order
+    BEFORE the validity checks, while the similarity vector stays in
+    row-major proposal order — reproducing the reference's misaligned
+    filter-1 quantile cut bit-for-bit (main_bridged_graph.py:75,235-239
+    for cross; :113 + :132 for within). Default (False) filters on the
+    sim-aligned flat proposals — the documented fix."""
     ei_cross, sims, p_src, p_tar, homo = propose_cross_edges(
         model, variables, g_src, adj_src, g_tar, adj_tar, k_cross,
         row_block=row_block, sim_mode=sim_mode, epsilon=epsilon, mesh=mesh,
@@ -472,6 +495,10 @@ def gen_bridged_graph(
         print(f"cross proposals: {ei_cross.shape[1]} (homophily {homo:.4f})")
     src_d = _graph_to_dict(g_src)
     tar_d = _graph_to_dict(g_tar)
+    if reference_compat:
+        # reference order: coalesce(sort) first (:75), filter after with
+        # the row-major sim vector (misaligned quantile cut, :235-239)
+        ei_cross = _pyg_coalesce_order(ei_cross)
     if check_cross:
         ei_cross = check_cross_validity(
             ei_cross, sims, src_d["y"], tar_d["y"], src_d["x"], tar_d["x"],
@@ -496,6 +523,11 @@ def gen_bridged_graph(
             approx_recall=approx_recall,
             rerank_candidates=rerank_candidates,
         )
+        if reference_compat:
+            # reference coalesces within-proposals inside the proposer
+            # (:113) before the checks see them
+            ei_within_src = _pyg_coalesce_order(ei_within_src)
+            ei_within_tar = _pyg_coalesce_order(ei_within_tar)
         if check_within:
             # hardcoded thresholds mirror the reference call site
             # (main_bridged_graph.py:302-306)

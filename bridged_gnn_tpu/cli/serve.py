@@ -4,9 +4,10 @@ Serves the two trained artifacts behind a JSON-over-HTTP API (stdlib
 ``http.server`` — no extra dependencies):
 
   * ``--mode predictor``: full-graph KT-GNN node classification over a
-    bridged graph (`serve.KTGNNPredictor`). Predictions are computed
-    once at startup (the graph and weights are fixed) and served from
-    memory.
+    bridged graph (`serve.KTGNNPredictor`). Predictions over the loaded
+    graph are cached at startup; requests carrying feature updates run
+    the model live through the cached jitted program, and ``/v1/refresh``
+    installs new features persistently and rebuilds the cache.
   * ``--mode similarity``: online top-k most-similar-source queries
     against a fixed source corpus (`serve.SimilarityScorer`). Accepts
     framework stage-1 checkpoints (pickled variables, the stage-1 CLI's
@@ -19,7 +20,12 @@ Endpoints:
   POST /v1/topk            {"x": [[...]], "k": 5}          (similarity)
   POST /v1/predict         {"head": "target_hat",
                             "nodes": [0, 3, ...]?,         (predictor)
+                            "x": [[...]]?, "x_nodes": [...]?,
                             "log_probs": false}
+                           ("x" -> live inference on updated features;
+                            response carries "computed": "live"|"cache")
+  POST /v1/refresh         {"x": [[...]], "nodes": [...]?}  (predictor)
+                           (install features persistently + rebuild cache)
 
 The reference has no serving layer; this is new framework capability
 (SURVEY §0 — the reference is research scripts only).
@@ -99,7 +105,17 @@ class ServingApp:
             raise _ApiError(
                 400, f"unknown head {head!r}; one of "
                 f"{sorted(self._predictions)}")
-        lp = self._predictions[head]
+        x = body.get("x")
+        if x is not None:
+            # LIVE inference: run the cached jitted program on updated
+            # features for this request only (VERDICT r4 #5). "x" is the
+            # full [N, D] feature matrix, or rows matching "x_nodes".
+            preds = self._run_live(x, body.get("x_nodes"))
+            computed = "live"
+            lp = preds[head]
+        else:
+            lp = self._predictions[head]
+            computed = "cache"
         nodes = body.get("nodes")
         if nodes is not None:
             nodes = np.asarray(nodes, dtype=np.int64)
@@ -108,10 +124,49 @@ class ServingApp:
                 raise _ApiError(
                     400, f"'nodes' must be ids in [0, {lp.shape[0]})")
             lp = lp[nodes]
-        out: Dict[str, Any] = {"labels": lp.argmax(1).tolist()}
+        out: Dict[str, Any] = {"labels": lp.argmax(1).tolist(),
+                               "computed": computed}
         if body.get("log_probs"):
             out["log_probs"] = lp.tolist()
         return out
+
+    def _run_live(self, x, x_nodes=None) -> Dict[str, Any]:
+        try:
+            x = np.asarray(x, dtype=np.float32)
+            nodes = None if x_nodes is None else np.asarray(
+                x_nodes, dtype=np.int64)
+        except (TypeError, ValueError) as e:
+            raise _ApiError(400, f"bad feature payload: {e}")
+        with self._lock:
+            try:
+                return self.predictor.predict_live(x, nodes)
+            except ValueError as e:
+                raise _ApiError(400, str(e))
+
+    def refresh(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Persistently install new features and rebuild the prediction
+        cache — POST /v1/refresh {"x": [[...]], "nodes": [...]?}."""
+        if self.predictor is None:
+            raise _ApiError(404, "no predictor loaded")
+        x = body.get("x")
+        if x is None:
+            raise _ApiError(400, "'x' (feature rows) is required")
+        try:
+            x = np.asarray(x, dtype=np.float32)
+            nodes = body.get("nodes")
+            nodes = None if nodes is None else np.asarray(
+                nodes, dtype=np.int64)
+        except (TypeError, ValueError) as e:
+            raise _ApiError(400, f"bad feature payload: {e}")
+        with self._lock:
+            try:
+                self.predictor.update_features(x, nodes)
+            except ValueError as e:
+                raise _ApiError(400, str(e))
+            self._predictions = self.predictor.predict()
+        return {"status": "ok",
+                "updated_rows": int(len(nodes) if nodes is not None
+                                    else x.shape[0])}
 
 
 class _ApiError(Exception):
@@ -156,6 +211,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._send(200, self.app.topk(body))
             if self.path == "/v1/predict":
                 return self._send(200, self.app.predict(body))
+            if self.path == "/v1/refresh":
+                return self._send(200, self.app.refresh(body))
             return self._send(404, {"error": f"unknown path {self.path}"})
         except _ApiError as e:
             return self._send(e.code, {"error": e.message})

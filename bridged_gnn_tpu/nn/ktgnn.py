@@ -633,7 +633,12 @@ class KTGNN(nn.Module):
 
 class KTGNNNoDTC(nn.Module):
     """KTGNN_noDTC (reference models/KTGNN.py:467-597): plain AdaptedConv
-    stack with a single classification output."""
+    stack with a single classification output.
+
+    ``halo``: runs each conv through the row-partitioned halo layout
+    (parallel/halopart.HaloView) exactly like KTGNN — the sharded stage-2
+    runtime drives this model with ``Stage2Config(no_dtc=True,
+    n_shards>1)`` (VERDICT r4 #6)."""
 
     num_classes: int
     layer_num: int = 2
@@ -646,9 +651,11 @@ class KTGNNNoDTC(nn.Module):
     debug_spread: bool = False
 
     @nn.compact
-    def __call__(self, g: Graph, adj: Adjacency, train: bool = False):
+    def __call__(self, g: Graph, adj: Adjacency, train: bool = False,
+                 halo=None):
         x = g.x
         cm, nm = g.central_mask, g.node_mask
+        stats_axis = halo.axis if halo is not None else None
         for i in range(self.layer_num - 1):
             is_last = i == self.layer_num - 2
             out_dim = self.num_classes if is_last else self.hidden
@@ -657,10 +664,11 @@ class KTGNNNoDTC(nn.Module):
                 axis_name=self.axis_name, name=f"convs_{i}",
                 msg_dtype=self.msg_dtype,
                 debug_spread=self.debug_spread,
-            )(x, adj, cm, nm)
+            )(x, adj, cm, nm, halo)
             if not is_last:
                 if self.use_bn:
-                    x = MaskedBatchNorm(name=f"bns_{i}")(
+                    x = MaskedBatchNorm(name=f"bns_{i}",
+                                        axis_name=stats_axis)(
                         x, nm, use_running_average=not train
                     )
                 x = nn.relu(x)

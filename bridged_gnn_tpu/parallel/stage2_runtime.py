@@ -77,6 +77,22 @@ def estimate_plain_hbm_per_shard(part: HaloPartition, g: Graph, cfg) -> int:
     )
 
 
+def _norm_outs(outs):
+    """Normalize a model forward to the 4-tuple head layout: KTGNN
+    returns (lp_s, lp_t, lp_that, loss_dist); single-head models
+    (KTGNN_noDTC, baselines) return lp or (lp, aux) — triple the head so
+    the eval/count machinery is model-shape-blind (same normalization as
+    the single-device loop, train/stage2.py)."""
+    if isinstance(outs, tuple) and len(outs) == 4:
+        return outs
+    lp = outs[0] if isinstance(outs, tuple) else outs
+    return lp, lp, lp, None
+
+
+def _is_single_head(cfg) -> bool:
+    return bool(getattr(cfg, "no_dtc", False)) or cfg.model_name != "KTGNN"
+
+
 def _confusion_counts(pred, y, mask, num_classes):
     """[3, C+1] tp/pred/true counts over masked rows (see
     train.stage2._confusion_counts — device-side macro-F1 ingredients;
@@ -207,11 +223,20 @@ class HaloStage2Backend:
                 return outs, mutated["batch_stats"]
             return model.apply(variables, gl, None, False, halo=hv), bs
 
+        single_head = _is_single_head(cfg)
+
         def device_loss(params, bs, drop_rng, *args):
             (_, y, nm, cm, tm) = args[10:15]
             tt = tm & ~cm
             outs, new_bs = device_forward(params, bs, True, drop_rng, args)
-            lp_s, lp_t, lp_that, _ = outs
+            lp_s, lp_t, lp_that, _ = _norm_outs(outs)
+            if single_head:
+                # plain NLL on the train mask — identical to the
+                # single-device non-KTGNN branch (train/stage2.py)
+                loss = masked_nll(lp_s, y, tm, axis_name=axis)
+                aux = dict(loss_t2=loss, loss_t1=loss, loss_kl=0.0,
+                           loss_s=loss)
+                return loss, (aux, new_bs)
             loss_s = masked_nll(lp_s, y, tm, axis_name=axis)
             loss_t1 = masked_nll(lp_t, y, tt, axis_name=axis)
             loss_t2 = masked_nll(lp_that, y, tt, axis_name=axis)
@@ -250,7 +275,7 @@ class HaloStage2Backend:
 
         def eval_fn(params, bs, *args):
             outs, _ = device_forward(params, bs, False, None, args)
-            lp_s, lp_t, lp_that, _ = outs
+            lp_s, lp_t, lp_that, _ = _norm_outs(outs)
             return (
                 jnp.argmax(lp_s, axis=1),
                 jnp.argmax(lp_t, axis=1),
@@ -277,7 +302,7 @@ class HaloStage2Backend:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             outs, _ = device_forward(params, new_bs, False, None, args)
-            lp_s, lp_t, lp_that, _ = outs
+            lp_s, lp_t, lp_that, _ = _norm_outs(outs)
             p_s = jnp.argmax(lp_s, axis=1)
             p_t = jnp.argmax(lp_t, axis=1)
             p_that = jnp.argmax(lp_that, axis=1)
@@ -413,12 +438,19 @@ class EdgeShardStage2Backend:
                 return outs, mutated["batch_stats"]
             return model.apply(variables, gl, adj, False), bs
 
+        single_head = _is_single_head(cfg)
+
         def device_loss(params, bs, drop_rng, *args):
             (y, nm, cm, tm) = args[4:8]
             tt = tm & ~cm
             outs, new_bs = device_forward(params, bs, True, drop_rng,
                                           args)
-            lp_s, lp_t, lp_that, _ = outs
+            lp_s, lp_t, lp_that, _ = _norm_outs(outs)
+            if single_head:
+                loss = masked_nll(lp_s, y, tm)
+                aux = dict(loss_t2=loss, loss_t1=loss, loss_kl=0.0,
+                           loss_s=loss)
+                return loss, (aux, new_bs)
             # node arrays are replicated: losses need no psum
             loss_s = masked_nll(lp_s, y, tm)
             loss_t1 = masked_nll(lp_t, y, tt)
@@ -455,7 +487,7 @@ class EdgeShardStage2Backend:
 
         def eval_fn(params, bs, *args):
             outs, _ = device_forward(params, bs, False, None, args)
-            lp_s, lp_t, lp_that, _ = outs
+            lp_s, lp_t, lp_that, _ = _norm_outs(outs)
             return (
                 jnp.argmax(lp_s, axis=1),
                 jnp.argmax(lp_t, axis=1),
@@ -482,7 +514,7 @@ class EdgeShardStage2Backend:
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             outs, _ = device_forward(params, new_bs, False, None, args)
-            lp_s, lp_t, lp_that, _ = outs
+            lp_s, lp_t, lp_that, _ = _norm_outs(outs)
             p_s = jnp.argmax(lp_s, axis=1)
             p_t = jnp.argmax(lp_t, axis=1)
             p_that = jnp.argmax(lp_that, axis=1)

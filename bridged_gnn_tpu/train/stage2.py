@@ -450,12 +450,13 @@ def _surrogate_init_graph(num_features: int, num_classes: int):
 
 def _train_ktgnn_impl(data, cfg):
     sharded = cfg.n_shards > 1
-    if sharded and (cfg.model_name != "KTGNN" or cfg.no_dtc
+    sharded_single_head = cfg.no_dtc or cfg.model_name == "KTGNN_noDTC"
+    if sharded and (cfg.model_name not in ("KTGNN", "KTGNN_noDTC")
                     or cfg.need_complement):
         raise ValueError(
-            "n_shards > 1 supports the KTGNN model (no_dtc=False, "
-            f"need_complement=False); got model_name={cfg.model_name!r}, "
-            f"no_dtc={cfg.no_dtc}, need_complement={cfg.need_complement}"
+            "n_shards > 1 supports the KTGNN and KTGNN_noDTC models "
+            f"(need_complement=False); got model_name={cfg.model_name!r}, "
+            f"need_complement={cfg.need_complement}"
         )
     g, adj = prepare_stage2_graph(data, cfg, build_adj=not sharded)
     num_classes = int(np.asarray(g.y).max()) + 1
@@ -478,6 +479,10 @@ def _train_ktgnn_impl(data, cfg):
         # single-device estimator shape with slots/n
         lean = cfg.memory_policy == "lean"
     if sharded:
+        if sharded_single_head:
+            # KTGNN_noDTC has no recompute-backward variant; the plain
+            # path is its only (and much smaller) footprint
+            lean = False
         mem_mode = "lean" if lean else "plain"
         model = build_model(cfg, num_classes, lean=lean,
                             lean_remat=False)

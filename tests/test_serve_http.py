@@ -129,6 +129,65 @@ def test_predict_endpoint(served):
     assert lp.shape == (3, 3) and np.isfinite(lp).all()
 
 
+def test_predict_live_and_refresh(served):
+    """Live inference on updated features (/v1/predict {"x": ...}) and
+    persistent refresh (/v1/refresh): VERDICT r4 #5 — predictions must
+    actually run the model, not just read the startup cache."""
+    port, data = served
+    n, d = data["x"].shape
+    rng = np.random.default_rng(7)
+
+    # cache and live-on-identical-features must agree exactly
+    code, cached = _call(port, "/v1/predict",
+                         {"head": "target_hat", "log_probs": True})
+    assert code == 200 and cached["computed"] == "cache"
+    code, live = _call(port, "/v1/predict", {
+        "head": "target_hat", "log_probs": True,
+        "x": np.asarray(data["x"], dtype=np.float32).tolist()})
+    assert code == 200 and live["computed"] == "live"
+    np.testing.assert_allclose(
+        np.asarray(live["log_probs"]), np.asarray(cached["log_probs"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # perturbed features must change SOME outputs (the model really ran)
+    x2 = np.asarray(data["x"], dtype=np.float32) + rng.normal(
+        scale=3.0, size=(n, d)).astype(np.float32)
+    code, moved = _call(port, "/v1/predict", {
+        "head": "target_hat", "log_probs": True, "x": x2.tolist()})
+    assert code == 200 and moved["computed"] == "live"
+    assert not np.allclose(np.asarray(moved["log_probs"]),
+                           np.asarray(cached["log_probs"]), atol=1e-4)
+
+    # partial row update via x_nodes
+    code, part = _call(port, "/v1/predict", {
+        "head": "target_hat", "x": x2[:3].tolist(), "x_nodes": [0, 1, 2]})
+    assert code == 200 and part["computed"] == "live"
+
+    # wrong shapes -> 400 with a clear message
+    code, body = _call(port, "/v1/predict", {"x": [[0.0] * 3]})
+    assert code == 400 and "features must be" in body["error"]
+    code, body = _call(port, "/v1/predict",
+                       {"x": [[0.0] * d], "x_nodes": [0, 1]})
+    assert code == 400
+
+    # refresh installs features persistently: cache now matches the live
+    # result for the same features
+    code, body = _call(port, "/v1/refresh", {"x": x2.tolist()})
+    assert code == 200 and body["updated_rows"] == n
+    code, after = _call(port, "/v1/predict",
+                        {"head": "target_hat", "log_probs": True})
+    assert code == 200 and after["computed"] == "cache"
+    np.testing.assert_allclose(
+        np.asarray(after["log_probs"]), np.asarray(moved["log_probs"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # restore the original features for later tests in this module
+    code, body = _call(port, "/v1/refresh", {
+        "x": np.asarray(data["x"], dtype=np.float32).tolist()})
+    assert code == 200
+
+
 def test_error_paths(served):
     port, _ = served
     code, body = _call(port, "/v1/predict", {"head": "nope"})

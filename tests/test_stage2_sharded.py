@@ -169,10 +169,38 @@ def test_sharded_rejects_unsupported_models(data):
             dict(data),
             Stage2Config(**BASE, n_shards=8, model_name="GraphSAGE"),
         )
-    with pytest.raises(ValueError, match="n_shards"):
-        train_ktgnn(
-            dict(data), Stage2Config(**BASE, n_shards=8, no_dtc=True)
-        )
+
+
+@pytest.fixture(scope="module")
+def single_nodtc(data):
+    return train_ktgnn(dict(data), Stage2Config(**BASE, no_dtc=True))
+
+
+def test_nodtc_halo_matches_single_device(data, single_nodtc):
+    """KTGNN_noDTC under n_shards>1 (VERDICT r4 #6): the FB h2c recipe's
+    single-head model (reference run.sh:24-26) trains on the halo
+    partition with a loss history exact vs single-device."""
+    res = train_ktgnn(
+        dict(data), Stage2Config(**BASE, no_dtc=True, n_shards=8)
+    )
+    assert_history_matches(res, single_nodtc)
+
+
+def test_nodtc_halo_scan_mode(data, single_nodtc):
+    res = train_ktgnn(
+        dict(data),
+        Stage2Config(**BASE, no_dtc=True, n_shards=8, scan_epochs=5),
+    )
+    assert_history_matches(res, single_nodtc)
+
+
+def test_nodtc_edgeshard_matches_single_device(data, single_nodtc):
+    res = train_ktgnn(
+        dict(data),
+        Stage2Config(**BASE, no_dtc=True, n_shards=8,
+                     shard_layout="edgeshard"),
+    )
+    assert_history_matches(res, single_nodtc)
 
 
 def test_sharded_save_best(data, tmp_path):

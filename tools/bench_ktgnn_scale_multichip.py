@@ -33,9 +33,44 @@ out_path = (
 repo = __file__.rsplit("/", 2)[0]
 sys.path.insert(0, repo)
 
+
+
+def _env_bool(name, default):
+    """Tolerant boolean env parse: 0/""/false/no → False, else True."""
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v.strip().lower() not in ("0", "", "false", "no", "off")
+
+
+def _env_int(name, default):
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    try:
+        return int(v)
+    except ValueError:
+        sys.exit(f"{name}={v!r} is not an integer")
+
+
+# all knobs validated up front — a typo must fail before the multi-hour
+# graph/partition build, not after it (ADVICE r4)
+N_SHARDS = _env_int("BGNN_MC_SHARDS", 8)
+FEAT_D = _env_int("BGNN_MC_D", 128)
+HIDDEN = _env_int("BGNN_MC_HIDDEN", 64)
+DEG = _env_int("BGNN_MC_DEG", 17)
+POLICY = os.environ.get("BGNN_MC_POLICY", "auto")
+if POLICY not in ("auto", "lean", "plain"):
+    sys.exit(
+        f"BGNN_MC_POLICY={POLICY!r}: the sharded runtime accepts "
+        "auto|lean|plain (xla_plain is single-chip only)"
+    )
+SCAN = _env_bool("BGNN_MC_SCAN", True)
+SKIP_MA = _env_bool("BGNN_MC_SKIP_MA", False)
+
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
+    + f" --xla_force_host_platform_device_count={N_SHARDS}"
     # XLA-CPU in-process collectives enforce a 40 s rendezvous
     # termination timeout (rendezvous.cc) — at 1M+ nodes on a few host
     # cores the 8 virtual shards legitimately take longer than that to
@@ -55,10 +90,8 @@ import numpy as np  # noqa: E402
 
 from bridged_gnn_tpu.train.stage2 import Stage2Config, train_ktgnn  # noqa: E402
 
-N_SHARDS = 8
 
-
-def clustered_graph(n_nodes, deg=17, d=128, c=8, cross_frac=0.10, seed=0):
+def clustered_graph(n_nodes, deg=DEG, d=FEAT_D, c=8, cross_frac=0.10, seed=0):
     rng = np.random.default_rng(seed)
     e = n_nodes * deg
     block = n_nodes // N_SHARDS
@@ -128,8 +161,8 @@ def run_point(n_nodes, epochs=3):
     # ~120+ GB: on this 125 GB / 4-core host the compile wall sits
     # BELOW the single-chip ceiling, so the >10M-edge trained point
     # needs a larger simulation host or a real slice.
-    policy = os.environ.get("BGNN_MC_POLICY", "auto")
-    epochs = int(os.environ.get("BGNN_MC_EPOCHS", str(epochs)))
+    policy = POLICY
+    epochs = _env_int("BGNN_MC_EPOCHS", epochs)
     # scan mode: ONE compiled program (train+eval fused per epoch,
     # counts-based device eval) instead of two separately-arena'd
     # programs — the XLA-CPU allocator holds each program's temp arena,
@@ -141,9 +174,9 @@ def run_point(n_nodes, epochs=3):
     # 130 GB during compile); BGNN_MC_SCAN=0 compiles the train and eval
     # steps as separate smaller programs (their execute arenas co-reside
     # instead, which is the cheaper side of the trade at this scale)
-    scan = int(os.environ.get("BGNN_MC_SCAN", "1"))
+    scan = SCAN
     cfg = Stage2Config(
-        hidden=64, num_epoch=epochs, scan_epochs=epochs if scan else 0,
+        hidden=HIDDEN, num_epoch=epochs, scan_epochs=epochs if scan else 0,
         n_shards=N_SHARDS, message_dtype="bfloat16", log_every=1,
         memory_policy=policy,
     )
@@ -172,6 +205,13 @@ def run_point(n_nodes, epochs=3):
         dst_slots_per_shard=int(part.pd_blocks * part.pd_tile),
         build_s=round(t_part, 1),
     )
+    # record the policy the runtime RESOLVES, not the one requested —
+    # 'auto' may land on either side (ADVICE r4)
+    from bridged_gnn_tpu.train.stage2 import resolve_memory_policy_sharded
+
+    resolved_lean = resolve_memory_policy_sharded(
+        part, g, cfg, estimate_plain_hbm_per_shard
+    )
 
     import gc
 
@@ -183,7 +223,7 @@ def run_point(n_nodes, epochs=3):
     # tests/test_scale_multichip.py, tolerates a missing
     # xla_memory_analysis field).
     mem = None
-    if not int(os.environ.get("BGNN_MC_SKIP_MA", "0")):
+    if not SKIP_MA:
         _PHASE["name"] = "memory_analysis_compile"
         from bridged_gnn_tpu.parallel.mesh import make_mesh
         from bridged_gnn_tpu.parallel.stage2_runtime import (
@@ -194,15 +234,13 @@ def run_point(n_nodes, epochs=3):
             _surrogate_init_graph,
             build_model,
             prepare_stage2_graph,
-            resolve_memory_policy_sharded,
         )
 
         g2, _ = prepare_stage2_graph(data, cfg, build_adj=False)
         num_classes = int(np.asarray(g2.y).max()) + 1
-        lean = resolve_memory_policy_sharded(
-            part, g2, cfg, estimate_plain_hbm_per_shard
+        model = build_model(
+            cfg, num_classes, lean=resolved_lean, lean_remat=False
         )
-        model = build_model(cfg, num_classes, lean=lean, lean_remat=False)
         tx = torch_adam(cfg.lr, weight_decay=cfg.weight_decay)
         backend = HaloStage2Backend(
             make_mesh(N_SHARDS, ("nodes",)), model, g2, cfg, tx,
@@ -247,7 +285,11 @@ def run_point(n_nodes, epochs=3):
         nodes=n_nodes,
         edges=edges_real,
         n_shards=N_SHARDS,
-        lean=(policy == "lean"),
+        feat_d=FEAT_D,
+        hidden=HIDDEN,
+        deg=DEG,
+        scan=bool(scan),
+        lean=resolved_lean,
         partition=part_summary,
         est_plain_hbm_per_shard_gib=round(est / 2**30, 2),
         epochs=epochs,
