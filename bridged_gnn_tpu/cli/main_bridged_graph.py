@@ -100,6 +100,8 @@ def build_argparser() -> argparse.ArgumentParser:
     # body: zero H2D per segment. Distribution-equivalent to the host
     # sampler, different stream (production knob; requires --scan_epochs)
     ap.add_argument("--device_sampling", action="store_true")
+    # node-row-sharded GSPMD encode over an n-device mesh (VERDICT r4 #7)
+    ap.add_argument("--n_shards", type=int, default=1)
     # operational numerics guard: assert params + losses finite at every
     # eval boundary
     ap.add_argument("--check_numerics", action="store_true")
@@ -149,6 +151,7 @@ def main(args):
         verbose=args.verbose,
         scan_epochs=args.scan_epochs,
         device_sampling=args.device_sampling,
+        n_shards=args.n_shards,
         check_numerics=args.check_numerics,
     )
     os.makedirs(args.ckpt_dir, exist_ok=True)

@@ -40,8 +40,10 @@ def _reduce_kernel(rel_ref, msg_ref, out_ref, oh, *, node_block):
     # 3.94 ms vs 9.51 ms at bench scale, bit-exact). Per-slot weights are
     # pre-folded into msg OUTSIDE the kernel: the in-kernel
     # [nb,128]x[1,128] broadcast multiply is precisely the op this
-    # terminal's remote Mosaic compiler crashes on
-    # (tools/probe_pallas_feature2.log case 6), and XLA fuses the
+    # terminal's remote Mosaic compiler crashes on (feature-bisect
+    # round 2 case 6 — findings consolidated in DESIGN.md §8; the
+    # final bisect round is kept as tools/probe_pallas_feature9.py),
+    # and XLA fuses the
     # weighting into the gather that produces msg anyway.
     et128 = rel_ref.shape[1]
     nb = node_block

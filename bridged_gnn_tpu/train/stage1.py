@@ -82,6 +82,12 @@ class Stage1Config:
     # loss finite at every eval boundary (utils/sanitizers). CLI:
     # --check_numerics
     check_numerics: bool = False
+    # >1: place both domain graphs node-row-sharded over an n-device mesh
+    # (parallel/gspmd.shard_stage1_graph) — the unmodified jitted steps
+    # then run row-parallel under GSPMD, removing the single-chip memory
+    # ceiling from the stage-1 encode (VERDICT r4 #7). Host pair
+    # sampling only (device_sampling has its own DP pair path).
+    n_shards: int = 1
 
 
 def bce(probs, targets):
@@ -818,12 +824,48 @@ def train_adversarial(
         )
     g_src = graph_from_dict(src_d)
     g_tar = graph_from_dict(tar_d)
+    adj_method = "gather" if cfg.n_shards > 1 else "auto"
+    if cfg.n_shards > 1:
+        # repad BEFORE the adjacency build so its padded-node space
+        # matches the shard-divisible row layout
+        from bridged_gnn_tpu.graph import NODE_BLOCK
+        from bridged_gnn_tpu.parallel.gspmd import repad_graph_nodes
+
+        g_src = repad_graph_nodes(g_src, cfg.n_shards * NODE_BLOCK)
+        g_tar = repad_graph_nodes(g_tar, cfg.n_shards * NODE_BLOCK)
     adj_src = (
-        adjacency_from_graph(g_src) if cfg.backbone == "gnn" else None
+        adjacency_from_graph(g_src, method=adj_method)
+        if cfg.backbone == "gnn" else None
     )
     adj_tar = (
-        adjacency_from_graph(g_tar) if cfg.backbone == "gnn" else None
+        adjacency_from_graph(g_tar, method=adj_method)
+        if cfg.backbone == "gnn" else None
     )
+    if cfg.n_shards > 1:
+        # GSPMD node-row sharding of the encode (VERDICT r4 #7): node
+        # arrays placed sharded, steps unmodified — see
+        # parallel/gspmd.shard_stage1_graph
+        if cfg.device_sampling:
+            raise ValueError(
+                "n_shards > 1 uses the host sampling path; "
+                "device_sampling has its own DP pair sharding "
+                "(train/device_sampler.py)"
+            )
+        import jax as _jax
+
+        from bridged_gnn_tpu.parallel.gspmd import shard_stage1_graph
+        from bridged_gnn_tpu.parallel.mesh import make_mesh
+
+        if len(_jax.devices()) < cfg.n_shards:
+            raise RuntimeError(
+                f"n_shards={cfg.n_shards} but only "
+                f"{len(_jax.devices())} devices visible; for CPU "
+                "testing set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={cfg.n_shards}"
+            )
+        mesh = make_mesh(cfg.n_shards, ("nodes",))
+        g_src, adj_src = shard_stage1_graph(mesh, g_src, adj_src)
+        g_tar, adj_tar = shard_stage1_graph(mesh, g_tar, adj_tar)
     model = build_model(cfg, src_d, tar_d)
 
     final = {"train": [], "val": [], "test": []}
