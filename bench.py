@@ -195,7 +195,7 @@ def main():
         print(
             "# samples (ms/iter): "
             + ", ".join(f"{s['dt'] * 1e3:.3f}" for s in samples)
-            + " -> best reported",
+            + " -> median reported",
             file=sys.stderr,
         )
     metric = "spmm_edges_per_sec_chip"

@@ -77,6 +77,19 @@ class AdaptedConv(nn.Module):
     # underflows if this exceeds ~80 (see pallas_fused module docstring).
     # Only active on the custom-VJP fused branch (where the kernel runs)
     debug_spread: bool = False
+    # Branch-selected gather (VERDICT r4 #4): per edge slot only the
+    # branch matching the destination's domain is consumed, so the
+    # select is folded into the gather index over the stacked [2N, D]
+    # table and every downstream slot tensor is D wide instead of 2D
+    # (ops/fused_attention.make_adapted_attention_sel). Gather time is
+    # unchanged (issue-rate-bound). Measured on v5e at bench scale
+    # (results_fused_sel_tpu.json): the XLA fused forms are byte-bound
+    # and the selective twin wins 1.56x (25.5 -> 16.4 ms fwd); the
+    # Mosaic kernels are per-block-overhead-bound and do NOT profit, so
+    # kernel paths keep the concatenated form. None = ON for the
+    # non-kernel fused paths (bit-exact vs the concatenated form,
+    # tests/test_fused_attention.py); False forces concatenated
+    select_gather: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -146,6 +159,11 @@ class AdaptedConv(nn.Module):
                     lay.tile_e, lay.node_block, self.out_channels,
                     itemsize=isz,
                 )
+            use_sel = (
+                self.select_gather is not False
+                and getattr(adj.fast_fn, "gather_slots_sel", None)
+                is not None
+            )
             if kernel_ok or self.fused_recompute_bwd:
                 # custom-VJP variants. kernel_fwd: the whole attention
                 # layer as ONE Mosaic kernel per dst block (inference
@@ -156,19 +174,32 @@ class AdaptedConv(nn.Module):
                 from bridged_gnn_tpu.nn.common import ParamKernel
                 from bridged_gnn_tpu.ops.fused_attention import (
                     make_adapted_attention,
+                    make_adapted_attention_sel,
                 )
 
+                # Measured policy (results_fused_sel_tpu.json): the
+                # Mosaic kernels are per-block-overhead-bound, not
+                # byte-bound — the selective kernels move half the bytes
+                # yet time equal (fwd) or worse (fwd+bwd), so kernel
+                # paths keep the concatenated form; the XLA paths are
+                # byte/flop-bound and the selective form wins there
+                # (fwd 25.5 -> 16.4 ms at bench scale).
+                make_fn = (
+                    make_adapted_attention_sel
+                    if use_sel and not kernel_ok
+                    else make_adapted_attention
+                )
                 a1 = ParamKernel(self.out_channels, name="a_f_t2s")()[:, 0]
                 a2 = ParamKernel(self.out_channels, name="a_f_s2t")()[:, 0]
                 if kernel_ok:
-                    fn = make_adapted_attention(
+                    fn = make_fn(
                         adj.fast_fn, self.negative_slope,
                         kernel_fwd=True,
                         kernel_bwd=kernel_bwd and kernel_bwd_ok,
                         interpret=pallas_fused.default_interpret(),
                     )
                 else:
-                    fn = make_adapted_attention(
+                    fn = make_fn(
                         adj.fast_fn, self.negative_slope
                     )
                 out = fn(
@@ -190,9 +221,13 @@ class AdaptedConv(nn.Module):
             else:
                 from bridged_gnn_tpu.ops.fused_attention import (
                     adapted_attention,
+                    adapted_attention_sel,
                 )
 
-                out = adapted_attention(
+                att_fn = (
+                    adapted_attention_sel if use_sel else adapted_attention
+                )
+                out = att_fn(
                     adj.fast_fn, u_t2s, u_s2t, central_mask,
                     torch_dense(1, use_bias=False, name="a_f_t2s"),
                     torch_dense(1, use_bias=False, name="a_f_s2t"),

@@ -518,6 +518,13 @@ class BlockedOps(NamedTuple):
     spmm(x [N,D], w [E]) -> [N,D]       weighted aggregation by destination
     pair_sum(u [N,D])    -> [E,D]       u[senders]+u[receivers] (masked 0)
     gather_slots(x [N,D]) -> [B,Et,D]   sender rows in dst-slot order
+    gather_slots_sel(u1, u2, c_slot) -> [B,Et,D]  per-slot BRANCH-SELECTED
+        sender rows: slot (b,e) holds u1[sender] when c_slot[b,e] else
+        u2[sender] — the branch select folded into the gather INDEX over
+        the stacked [2N, D] table. The gather engine is issue-rate-bound
+        (DESIGN.md §2), so this costs the same gather time as one branch
+        while every downstream stage (kernel reads, expands, logits,
+        reduce) moves HALF the bytes of the concatenated [Et, 2D] form.
 
     All carry custom VJPs whose backward passes are blocked one-hot-matmul
     segment reductions (sender- and destination-sorted) instead of XLA
@@ -537,6 +544,7 @@ class BlockedOps(NamedTuple):
     senders: object = None
     receivers: object = None
     edge_mask: object = None
+    gather_slots_sel: object = None
 
 
 def bind_blocked_ops(
@@ -699,11 +707,46 @@ def _bind_blocked_ops_impl(
     def pair_sum(u):
         return _pair_sum(u, aux0)
 
+    # Branch-selected gather (see BlockedOps docs): indices offset into
+    # the stacked [2N, D] table by the per-slot destination-domain flag.
+    # c_slot is an index ingredient, not a differentiable input (it is a
+    # 0/1 domain mask) — its cotangent is zero by construction.
+    @jax.custom_vjp
+    def _gather_sel(u1, u2, c_slot, aux):
+        n = u1.shape[0]
+        table = jnp.concatenate([u1, u2], axis=0)
+        c_flat = c_slot.reshape(-1)
+        idx = aux["ld"]["other"] + jnp.where(c_flat, 0, n).astype(jnp.int32)
+        return table[idx].reshape(meta_dst.num_blocks, meta_dst.tile_e, -1)
+
+    def gsel_fwd(u1, u2, c_slot, aux):
+        return _gather_sel(u1, u2, c_slot, aux), (
+            u1.shape[0], c_slot, aux
+        )
+
+    def gsel_bwd(res, dm):
+        n_rows, c_slot, aux = res
+        _, ls = _lays(aux)
+        d = dm.shape[-1]
+        c = c_slot.reshape(-1, 1).astype(dm.dtype)
+        dm_flat = dm.reshape(-1, d)
+        # one 2D-wide src-keyed reduce: [dm·c ‖ dm·(1−c)] by sender
+        both = jnp.concatenate([dm_flat * c, dm_flat * (1.0 - c)], axis=1)
+        du = padded_slot_reduce(ls, both[aux["sfd"]])[:n_rows]
+        return (du[:, :d].astype(dm.dtype), du[:, d:].astype(dm.dtype),
+                float0_zeros(c_slot), float0_zeros(aux))
+
+    _gather_sel.defvjp(gsel_fwd, gsel_bwd)
+
+    def gather_slots_sel(u1, u2, c_slot):
+        return _gather_sel(u1, u2, c_slot, aux0)
+
     gather_slots = make_slot_gather(lay_dst, lay_src, src_from_dst)
     return BlockedOps(
         spmm=spmm_dispatch, pair_sum=pair_sum, gather_slots=gather_slots,
         lay_dst=lay_dst, lay_src=lay_src, src_from_dst=src_from_dst,
         senders=senders_j, receivers=receivers_j, edge_mask=mask_j,
+        gather_slots_sel=gather_slots_sel,
     )
 
 

@@ -512,6 +512,309 @@ def adapted_attention(
     return out.astype(u1.dtype)
 
 
+def make_adapted_attention_sel(
+    ops: BlockedOps,
+    negative_slope: float = 0.1,
+    kernel_fwd: bool = False,
+    kernel_bwd: bool = False,
+    interpret: bool = False,
+):
+    """Branch-selected twin of :func:`make_adapted_attention`
+    (VERDICT r4 #4): the gather moves the SELECTED branch's rows only
+    (stacked [2N, D] table, domain offset folded into the index —
+    gather time unchanged, issue-rate-bound), and every downstream slot
+    tensor is D wide instead of 2D. Same recompute backward discipline:
+    residuals are the inputs + [B, Et] f32 attention weights only.
+
+    Returned callable and gradient surface identical to
+    make_adapted_attention: fn(u1, u2, u1_dst, u2_dst, central_f32,
+    a1, a2) -> [N_out, D].
+    """
+    lay = ops.lay_dst
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    slope = negative_slope
+    meta_dst, meta_src = ops.lay_dst, ops.lay_src
+    aux0 = dict(ld=_lay_arrays(ops.lay_dst), ls=_lay_arrays(ops.lay_src),
+                sfd=ops.src_from_dst)
+
+    def _expand_scalar(lay, v):
+        return padded_block_expand(lay, v[:, :, None])[..., 0]
+
+    def _pad_blocks(u):
+        n_full = B * nb
+        u_pad = jnp.pad(u, ((0, n_full - u.shape[0]), (0, 0)))
+        return u_pad.reshape(B, nb, -1)
+
+    def _c_slot(lay, central):
+        n_full = B * nb
+        c_pad = jnp.pad(central, (0, n_full - central.shape[0]))
+        return _expand_scalar(
+            lay, c_pad.reshape(B, nb).astype(jnp.float32)
+        )
+
+    def _gather_sel_rows(u1, u2, c_slot, aux):
+        n = u1.shape[0]
+        table = jnp.concatenate([u1, u2], axis=0)
+        idx = aux["ld"]["other"] + jnp.where(
+            c_slot.reshape(-1) > 0.5, 0, n
+        ).astype(jnp.int32)
+        return table[idx].reshape(B, Et, -1)
+
+    def _gather_sel_vjp(dm, c_slot, n_rows, aux):
+        """du1, du2 — ONE 2D-wide src-keyed reduce of [dm·c ‖ dm·(1−c)]."""
+        d = dm.shape[-1]
+        c = c_slot.reshape(-1, 1).astype(jnp.float32)
+        dm_flat = dm.reshape(-1, d).astype(jnp.float32)
+        both = jnp.concatenate([dm_flat * c, dm_flat * (1.0 - c)], axis=1)
+        du = padded_slot_reduce(
+            _lay_from(aux["ls"], meta_src), both[aux["sfd"]].astype(dm.dtype)
+        )[:n_rows]
+        return du[:, :d], du[:, d:]
+
+    def _ud_sel(u1_dst, u2_dst, central):
+        cd = central.astype(u1_dst.dtype)[:, None]
+        return u1_dst * cd + u2_dst * (1.0 - cd)
+
+    def _forward(u1, u2, u1_dst, u2_dst, central, a1, a2, aux):
+        lay = _lay_from(aux["ld"], meta_dst)
+        valid = lay.slot_mask.reshape(B, Et)
+        c_slot = _c_slot(lay, central)
+        is_c = c_slot > 0.5
+        m = _gather_sel_rows(u1, u2, c_slot, aux)        # [B, Et, D]
+        d = padded_dst_expand(lay, _ud_sel(u1_dst, u2_dst, central))
+        h = jax.nn.leaky_relu(
+            m.astype(jnp.float32) + d.astype(jnp.float32), slope
+        )
+        l1 = jnp.einsum("bed,d->be", h, a1.astype(jnp.float32))
+        l2 = jnp.einsum("bed,d->be", h, a2.astype(jnp.float32))
+        lm = jnp.where(valid, jnp.where(is_c, l1, l2), _NEG)
+        ohb = lay.rel_key[:, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (1, nb, 1), 1
+        )
+        mx = jnp.max(jnp.where(ohb, lm[:, None, :], _NEG), axis=2)
+        mx_slot = _expand_scalar(lay, mx)
+        ex = jnp.where(valid, jnp.exp(lm - mx_slot), 0.0)
+        denom = jax.lax.dot_general(
+            ohb.astype(jnp.float32), ex[:, :, None],
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        den_slot = _expand_scalar(lay, denom[..., 0])
+        alpha = ex / jnp.where(den_slot == 0, 1.0, den_slot)
+        out = padded_slot_reduce(lay, m, alpha.astype(u1.dtype))
+        return out.astype(u1.dtype), (alpha, c_slot)
+
+    def _pack_udc(u1_dst, u2_dst, central, dtype):
+        """[B, nb, D+128] packed operand: [selected dst rows ‖ c ‖ 1 ‖ 0]
+        — dst rows, domain flag and the hit column ride ONE one-hot MXU
+        pass inside the kernel (see _attention_sel_kernel)."""
+        dch = u1_dst.shape[-1]
+        n_full = B * nb
+        ud = _ud_sel(u1_dst, u2_dst, central)
+        cols = jnp.concatenate([
+            ud.astype(jnp.float32),
+            central.astype(jnp.float32)[:, None],
+            jnp.ones((ud.shape[0], 1), jnp.float32),
+        ], axis=1)
+        cols = jnp.pad(
+            cols, ((0, n_full - ud.shape[0]), (0, 128 - 2))
+        )
+        return cols.reshape(B, nb, dch + 128).astype(dtype)
+
+    def _forward_kernel(u1, u2, u1_dst, u2_dst, central, a1, a2, aux):
+        from bridged_gnn_tpu.ops.pallas_fused import _attention_sel_call
+
+        klay = _lay_from(aux["ld"], meta_dst)
+        c_slot = _c_slot(klay, central)
+        m = _gather_sel_rows(u1, u2, c_slot, aux)
+        dch = u1.shape[-1]
+        n_full = B * nb
+        udc = _pack_udc(u1_dst, u2_dst, central, m.dtype)
+        out, ex, den = _attention_sel_call(
+            klay.rel_key, m, udc,
+            a1.reshape(1, dch).astype(jnp.float32),
+            a2.reshape(1, dch).astype(jnp.float32),
+            nb, slope, interpret=interpret,
+        )
+        res = out.reshape(n_full, dch)[: central.shape[0]]
+        # alpha residual reconstructed OUTSIDE the kernel (one [Et, 1]
+        # expand) — dead-code-eliminated on the no-grad primal path
+        deninv_slot = _expand_scalar(
+            klay, (1.0 / den[..., 0]).reshape(B, nb)
+        )
+        alpha = ex.reshape(B, Et) * deninv_slot
+        return res.astype(u1.dtype), (alpha, c_slot)
+
+    _fwd_impl = _forward_kernel if kernel_fwd else _forward
+
+    @jax.custom_vjp
+    def fused_aux(u1, u2, u1_dst, u2_dst, central, a1, a2, aux):
+        return _fwd_impl(u1, u2, u1_dst, u2_dst, central, a1, a2, aux)[0]
+
+    def fwd(u1, u2, u1_dst, u2_dst, central, a1, a2, aux):
+        out, (alpha, c_slot) = _fwd_impl(
+            u1, u2, u1_dst, u2_dst, central, a1, a2, aux
+        )
+        return out, (u1, u2, u1_dst, u2_dst, central, a1, a2, alpha,
+                     c_slot, aux)
+
+    def bwd(res, dout):
+        (u1, u2, u1_dst, u2_dst, central, a1, a2, alpha, c_slot,
+         aux) = res
+        lay = _lay_from(aux["ld"], meta_dst)
+        dch = u1.shape[-1]
+        dt = u1.dtype
+        if kernel_bwd:
+            from bridged_gnn_tpu.ops.pallas_fused import (
+                _attention_sel_bwd_call,
+            )
+
+            m = _gather_sel_rows(u1, u2, c_slot, aux)
+            n_full = B * nb
+            udc = _pack_udc(u1_dst, u2_dst, central, m.dtype)
+            dout_blk = jnp.pad(
+                dout.astype(jnp.float32),
+                ((0, n_full - dout.shape[0]), (0, 0)),
+            ).reshape(B, nb, dch)
+            dm, dud, da = _attention_sel_bwd_call(
+                lay.rel_key, m, udc,
+                a1.reshape(1, dch).astype(jnp.float32),
+                a2.reshape(1, dch).astype(jnp.float32),
+                alpha.reshape(B, Et, 1).astype(jnp.float32),
+                dout_blk, nb, slope, interpret=interpret,
+            )
+            du1, du2 = _gather_sel_vjp(dm, c_slot, u1.shape[0], aux)
+            dud_flat = dud.reshape(n_full, dch)[: u1_dst.shape[0]]
+            cd = central[:, None]
+            da_sum = jnp.sum(da[:, 0, :], axis=0)
+            return (
+                du1.astype(dt), du2.astype(dt),
+                (dud_flat * cd).astype(dt),
+                (dud_flat * (1.0 - cd)).astype(dt),
+                jnp.zeros_like(central),
+                da_sum[:dch].astype(a1.dtype),
+                da_sum[dch:].astype(a2.dtype),
+                float0_zeros(aux),
+            )
+        # recompute (XLA): one selected gather + one selected expand
+        is_c = c_slot > 0.5
+        m = _gather_sel_rows(u1, u2, c_slot, aux)
+        d = padded_dst_expand(lay, _ud_sel(u1_dst, u2_dst, central))
+        z = m.astype(jnp.float32) + d.astype(jnp.float32)   # [B, Et, D]
+
+        dout = dout.astype(jnp.float32)
+        dout_slot = padded_block_expand(lay, _pad_blocks(dout))
+        dalpha = jnp.einsum("bed,bed->be", m.astype(jnp.float32),
+                            dout_slot)
+        t = alpha * dalpha
+        seg = padded_slot_reduce(lay, t.reshape(B, Et, 1))
+        s_slot = _expand_scalar(lay, _pad_blocks(seg)[..., 0])
+        dlm = t - alpha * s_slot
+        dl1 = dlm * c_slot
+        dl2 = dlm * (1.0 - c_slot)
+        h = jax.nn.leaky_relu(z, slope)
+        da1 = jnp.einsum("bed,be->d", h, dl1)
+        da2 = jnp.einsum("bed,be->d", h, dl2)
+        g = jnp.where(z > 0, 1.0, slope)
+        dz = (dl1[..., None] * a1.astype(jnp.float32)
+              + dl2[..., None] * a2.astype(jnp.float32)) * g
+        dm = (alpha[..., None] * dout_slot + dz).astype(dt)
+        du_dst = padded_slot_reduce(lay, dz.astype(dt))
+        du_dst = du_dst[: u1_dst.shape[0]]
+        cd = central[:, None]
+        du1_dst = (du_dst * cd).astype(dt)
+        du2_dst = (du_dst * (1.0 - cd)).astype(dt)
+        du1, du2 = _gather_sel_vjp(dm, c_slot, u1.shape[0], aux)
+        return (
+            du1.astype(dt), du2.astype(dt), du1_dst, du2_dst,
+            jnp.zeros_like(central), da1.astype(a1.dtype),
+            da2.astype(a2.dtype), float0_zeros(aux),
+        )
+
+    fused_aux.defvjp(fwd, bwd)
+
+    def fused(u1, u2, u1_dst, u2_dst, central, a1, a2):
+        return fused_aux(u1, u2, u1_dst, u2_dst, central, a1, a2, aux0)
+
+    return fused
+
+
+def adapted_attention_sel(
+    ops: BlockedOps,
+    u1: jax.Array,            # [N_in, D] messages when dst is central (t2s)
+    u2: jax.Array,            # [N_in, D] messages when dst is target (s2t)
+    central: jax.Array,       # [N_out] bool destination-domain flag
+    logit_fn1: Callable,
+    logit_fn2: Callable,
+    negative_slope: float = 0.1,
+    u1_dst: jax.Array = None,
+    u2_dst: jax.Array = None,
+) -> jax.Array:
+    """Branch-selected twin of :func:`adapted_attention`.
+
+    Per edge slot only ONE message branch is ever consumed — the one
+    matching the DESTINATION's domain (w1 = α·is_c, w2 = α·(1−is_c) in
+    the concatenated form means every slot contributes exactly one
+    branch). Folding that select into the gather INDEX over the stacked
+    [2N, D] table (ops.gather_slots_sel) halves every downstream byte:
+    the gathered slots, the dst-side expand, the leaky_relu/logit math
+    and the weighted reduce are all D wide instead of 2D. The gather
+    engine is issue-rate-bound (474 Mrows/s regardless of row width,
+    DESIGN.md §2), so gather time is unchanged — the savings are pure.
+    Mathematically identical to adapted_attention (same logits, same
+    joint softmax semantics, same aggregation); parity pinned in
+    tests/test_fused_attention.py."""
+    lay = ops.lay_dst
+    B, Et, nb = lay.num_blocks, lay.tile_e, lay.node_block
+    valid = lay.slot_mask.reshape(B, Et)
+    if u1_dst is None:
+        u1_dst, u2_dst = u1, u2
+    dch = u1.shape[-1]
+
+    # per-slot destination-domain flag (block expand — no gather)
+    n_full = B * nb
+    c_pad = jnp.pad(
+        central.astype(jnp.float32), (0, n_full - central.shape[0])
+    )
+    c_slot = padded_block_expand(lay, c_pad.reshape(B, nb, 1))[..., 0]
+    is_c = c_slot > 0.5
+
+    # ONE branch-selected row gather — the only gather-engine traffic
+    m_sel = ops.gather_slots_sel(u1, u2, is_c)          # [B, Et, D]
+
+    # destination-side rows: select per dst row BEFORE the expand
+    cd = central.astype(u1_dst.dtype)[:, None]
+    ud_sel = u1_dst * cd + u2_dst * (1.0 - cd)
+    d_sel = padded_dst_expand(lay, ud_sel)              # [B, Et, D]
+
+    h = jax.nn.leaky_relu(
+        m_sel.astype(jnp.float32) + d_sel.astype(jnp.float32),
+        negative_slope,
+    )
+    l1 = logit_fn1(h)[..., 0].astype(jnp.float32)       # [B, Et]
+    l2 = logit_fn2(h)[..., 0].astype(jnp.float32)
+    logit = jnp.where(is_c, l1, l2)
+    lm = jnp.where(valid, logit, _NEG)
+
+    ohb = lay.rel_key[:, None, :] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, nb, 1), 1
+    )
+    mx = jnp.max(jnp.where(ohb, lm[:, None, :], _NEG), axis=2)
+    mx = jax.lax.stop_gradient(mx)
+    mx_slot = padded_block_expand(lay, mx[:, :, None])[..., 0]
+    ex = jnp.where(valid, jnp.exp(lm - mx_slot), 0.0)
+    denom = jax.lax.dot_general(
+        ohb.astype(jnp.float32), ex[:, :, None],
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    den_slot = padded_block_expand(lay, denom)[..., 0]
+    alpha = ex / jnp.where(den_slot == 0, 1.0, den_slot)
+
+    out = padded_slot_reduce(lay, m_sel, alpha.astype(u1.dtype))
+    return out.astype(u1.dtype)
+
+
 def adapted_attention_tiered(
     tops,
     u1: jax.Array,            # [N_in, D] messages when dst is central

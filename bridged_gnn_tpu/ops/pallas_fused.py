@@ -484,3 +484,241 @@ def adapted_attention_fwd_pallas(
     alpha = alpha.reshape(B, Et)
     c_slot = None  # derivable; the bwd recomputes it via block expand
     return res, alpha, c_slot
+
+
+# ------------------------------------------------------- selective variant
+#
+# Branch-selected twins (VERDICT r4 #4): per edge slot only the branch
+# matching the DESTINATION's domain is consumed, so the caller gathers
+# the selected rows only (ops.gather_slots_sel — the select rides the
+# gather index over the stacked [2N, D] table). Every kernel tensor is D
+# wide instead of 2D: HBM reads of the gathered slots, the dst-row
+# expands, the leaky_relu/logit math, and the out/dm writes all halve.
+# The gather engine is issue-rate-bound (DESIGN.md §2), so gather time
+# is unchanged — the savings are pure. Same block-max softmax semantics
+# and VMEM discipline as the concatenated kernels above.
+
+def _attention_sel_kernel(
+    rel_ref,    # [1, Et/128, 128] int32
+    m_ref,      # [1, Et, D] bf16 — branch-SELECTED gathered sender rows
+    udc_ref,    # [1, nb, D+128]  — [selected dst rows ‖ c ‖ 1 ‖ 0-pad]
+    a1_ref,     # [1, D] f32
+    a2_ref,     # [1, D] f32
+    out_ref,    # [1, nb, D] f32
+    ex_ref,     # [1, Et, 1] f32 — shifted softmax numerators (residual)
+    den_ref,    # [1, nb, 1] f32 — per-destination denominators (residual)
+    oh,         # VMEM scratch [nb, Et]
+    *,
+    node_block: int,
+    negative_slope: float,
+):
+    """Pass-minimized selective forward: 4 MXU passes per block.
+
+    The concatenated kernel spends 6 one-hot passes per block, 4 of them
+    [*, 1] vector dots the MXU pads to 128 lanes — D-independent cost
+    that dominated the kernel (measured: halving D via the selective
+    gather moved fwd only 15.4->14.9 ms, results_fused_sel_tpu.json).
+    Here (a) the dst rows, the domain flag and the hit column share ONE
+    packed [nb, D+128] operand, and (b) the softmax denominator is
+    divided AT THE DESTINATION after the reduce (out = (Σ ex·m)/den)
+    instead of being expanded back to slots — den_slot and the slot
+    division disappear. Residuals are (ex, den); alpha = ex·(1/den)
+    expanded — the caller reconstructs it outside when the backward
+    needs it."""
+    nb = node_block
+    et = m_ref.shape[1]
+    dch = a1_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
+    for ci in range(et // 128):
+        oh[:, ci * 128:(ci + 1) * 128] = (
+            rows == rel_ref[0, ci:ci + 1]
+        ).astype(oh.dtype)
+    ohv = oh[...]
+    big = jax.lax.dot_general(
+        ohv, udc_ref[0], (((0,), (0,)), ((), ())), **_DOT
+    )                                                   # [Et, D+128]
+    d_slots = big[:, :dch]
+    c_slot = big[:, dch:dch + 1]
+    hit = big[:, dch + 1:dch + 2]
+    z = m_ref[0].astype(jnp.float32) + d_slots
+    h = jnp.where(z >= 0, z, negative_slope * z)
+    a1b = jnp.broadcast_to(a1_ref[...], (et, dch))
+    a2b = jnp.broadcast_to(a2_ref[...], (et, dch))
+    l1 = jnp.sum(h * a1b, axis=1, keepdims=True)
+    l2 = jnp.sum(h * a2b, axis=1, keepdims=True)
+    lm = c_slot * l1 + (1.0 - c_slot) * l2
+    lm = jnp.where(hit > 0, lm, _NEG)
+
+    mx = jnp.maximum(jnp.max(lm), _NEG)
+    ex = jnp.exp(lm - mx) * hit
+    ex_ref[0] = ex
+    den = jax.lax.dot_general(ohv, ex, (((1,), (0,)), ((), ())), **_DOT)
+    den = jnp.where(den == 0, 1.0, den)
+    den_ref[0] = den
+    mw = (
+        m_ref[0].astype(jnp.float32) * jnp.broadcast_to(ex, (et, dch))
+    ).astype(m_ref.dtype)
+    acc = jax.lax.dot_general(
+        ohv, mw, (((1,), (0,)), ((), ())), **_DOT
+    )                                                   # [nb, D]
+    out_ref[0] = acc / jnp.broadcast_to(den, (nb, dch))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("node_block", "negative_slope", "interpret"),
+)
+def _attention_sel_call(
+    rel_key, msg, udc_blk, a1, a2,
+    node_block: int,
+    negative_slope: float = 0.1,
+    interpret: bool = False,
+):
+    """Returns (out [B, nb, D] f32, ex [B, Et, 1] f32, den [B, nb, 1]).
+
+    ``udc_blk`` is the packed [B, nb, D+128] operand ([u_dst_selected ‖
+    central ‖ 1 ‖ 0-pad], see _attention_sel_kernel)."""
+    B, Et, d = msg.shape
+    nb = node_block
+    et128 = Et // 128
+    dp = udc_blk.shape[-1]
+    out, ex, den = pl.pallas_call(
+        functools.partial(
+            _attention_sel_kernel, node_block=nb,
+            negative_slope=negative_slope,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, et128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Et, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, d), lambda b: (0, 0)),
+            pl.BlockSpec((1, d), lambda b: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nb, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Et, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, 1), lambda b: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nb, d), jnp.float32),
+            jax.ShapeDtypeStruct((B, Et, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, nb, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nb, Et), msg.dtype)],
+        interpret=interpret,
+    )(rel_key.reshape(B, et128, 128), msg, udc_blk, a1, a2)
+    return out, ex, den
+
+
+def _attention_sel_bwd_kernel(
+    rel_ref,    # [1, Et/128, 128] int32
+    m_ref,      # [1, Et, D] bf16 — re-gathered SELECTED sender rows
+    udc_ref,    # [1, nb, D+128]  — packed [selected dst rows ‖ c ‖ 1]
+    a1_ref,     # [1, D] f32
+    a2_ref,     # [1, D] f32
+    alpha_ref,  # [1, Et, 1] f32
+    dout_ref,   # [1, nb, D] f32
+    dm_ref,     # out [1, Et, D] bf16
+    dud_ref,    # out [1, nb, D] f32
+    da_ref,     # out [1, 1, 2D] f32 — [da1 ‖ da2] per-block partials
+    oh,         # VMEM scratch [nb, Et]
+    *,
+    node_block: int,
+    negative_slope: float,
+):
+    nb = node_block
+    et = m_ref.shape[1]
+    dch = a1_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 0)
+    for ci in range(et // 128):
+        oh[:, ci * 128:(ci + 1) * 128] = (
+            rows == rel_ref[0, ci:ci + 1]
+        ).astype(oh.dtype)
+    ohv = oh[...]
+
+    big = jax.lax.dot_general(
+        ohv, udc_ref[0], (((0,), (0,)), ((), ())), **_DOT
+    )                                                   # [Et, D+128]
+    d_slots = big[:, :dch]
+    c_slot = big[:, dch:dch + 1]
+    m_f = m_ref[0].astype(jnp.float32)
+    z = m_f + d_slots                                   # [Et, D]
+    alpha = alpha_ref[0]                                # [Et, 1]
+    dout_slot = jax.lax.dot_general(
+        ohv, dout_ref[0], (((0,), (0,)), ((), ())), **_DOT
+    )                                                   # [Et, D]
+
+    dalpha = jnp.sum(m_f * dout_slot, axis=1, keepdims=True)
+    t = alpha * dalpha
+    seg = jax.lax.dot_general(ohv, t, (((1,), (0,)), ((), ())), **_DOT)
+    s_slot = jax.lax.dot_general(
+        ohv, seg, (((0,), (0,)), ((), ())), **_DOT
+    )
+    dlm = t - alpha * s_slot
+    dl1 = dlm * c_slot
+    dl2 = dlm * (1.0 - c_slot)
+
+    h = jnp.where(z >= 0, z, negative_slope * z)
+    da1 = jnp.sum(h * jnp.broadcast_to(dl1, (et, dch)), axis=0,
+                  keepdims=True)
+    da2 = jnp.sum(h * jnp.broadcast_to(dl2, (et, dch)), axis=0,
+                  keepdims=True)
+    g = jnp.where(z > 0, 1.0, negative_slope)
+    a1b = jnp.broadcast_to(a1_ref[...], (et, dch))
+    a2b = jnp.broadcast_to(a2_ref[...], (et, dch))
+    dz = (jnp.broadcast_to(dl1, (et, dch)) * a1b
+          + jnp.broadcast_to(dl2, (et, dch)) * a2b) * g
+    dm = jnp.broadcast_to(alpha, (et, dch)) * dout_slot + dz
+    dm_ref[0] = dm.astype(dm_ref.dtype)
+    dud_ref[0] = jax.lax.dot_general(
+        ohv, dz.astype(m_ref.dtype), (((1,), (0,)), ((), ())), **_DOT
+    )
+    da_ref[0, 0:1, :dch] = da1
+    da_ref[0, 0:1, dch:] = da2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("node_block", "negative_slope", "interpret"),
+)
+def _attention_sel_bwd_call(
+    rel_key, msg, udc_blk, a1, a2, alpha, dout_blk,
+    node_block: int,
+    negative_slope: float = 0.1,
+    interpret: bool = False,
+):
+    B, Et, d = msg.shape
+    nb = node_block
+    et128 = Et // 128
+    dp = udc_blk.shape[-1]
+    dm, dud, da = pl.pallas_call(
+        functools.partial(
+            _attention_sel_bwd_kernel, node_block=nb,
+            negative_slope=negative_slope,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, et128, 128), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, Et, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, dp), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, d), lambda b: (0, 0)),
+            pl.BlockSpec((1, d), lambda b: (0, 0)),
+            pl.BlockSpec((1, Et, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, d), lambda b: (b, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Et, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, nb, d), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 2 * d), lambda b: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Et, d), msg.dtype),
+            jax.ShapeDtypeStruct((B, nb, d), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, 2 * d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nb, Et), msg.dtype)],
+        interpret=interpret,
+    )(rel_key.reshape(B, et128, 128), msg, udc_blk, a1, a2,
+      alpha, dout_blk)
+    return dm, dud, da

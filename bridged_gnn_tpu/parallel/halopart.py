@@ -162,12 +162,21 @@ def _split_slot_layouts(out_s, out_r, out_m, rows, halo_len, node_block,
 
 
 def build_halo_partition(
-    g: Graph, n_shards: int, overlap: bool = False
+    g: Graph, n_shards: int, overlap: bool = False,
+    node_block: int = None,
 ) -> HaloPartition:
     """Build the row partition + per-pair halo plans (host, once/graph).
 
     ``overlap=True`` additionally builds the local/halo split slot
-    layouts consumed by the comm/compute-overlap attention path."""
+    layouts consumed by the comm/compute-overlap attention path.
+
+    ``node_block`` overrides the slot-layout block size (default 128).
+    On the XLA-CPU simulation mesh the materialized one-hot tensors of
+    every blocked reduce scale ∝ node_block per edge slot — the
+    dominant per-shard temp-arena term (measured 16.4 GiB/shard at 600k
+    nodes, tools notes r5) — so capacity simulations pass 32/64 to fit
+    n_shards arenas in one host's RAM; on real TPU the default stays
+    (VMEM/MXU-tuned, the one-hots are fused and never materialized)."""
     n_pad = g.num_nodes_padded
     rows = round_up(-(-n_pad // n_shards), 8)
     n_total = rows * n_shards
@@ -239,7 +248,9 @@ def build_halo_partition(
     # masked to zero before any blocked reduce, they only pad its bound)
     from bridged_gnn_tpu.ops.blocked_segment import build_block_meta
 
-    node_block = 128 if rows >= 128 else max(8, rows)
+    if node_block is None:
+        node_block = 128 if rows >= 128 else max(8, rows)
+    node_block = min(node_block, rows)
     metas = [build_block_meta(out_r[q], rows, node_block)
              for q in range(n_shards)]
     block_max_edges = max(m.max_edges for m in metas)

@@ -135,7 +135,8 @@ class HaloStage2Backend:
         self.axis = axis = mesh.axis_names[0]
         n_dev = mesh.devices.size
         self.part = part = part or build_halo_partition(
-            g, n_dev, overlap=overlap
+            g, n_dev, overlap=overlap,
+            node_block=getattr(cfg, "halo_node_block", None),
         )
         self.num_nodes_padded = g.num_nodes_padded
         Lambda = cfg.Lambda

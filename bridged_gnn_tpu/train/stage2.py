@@ -55,6 +55,12 @@ class Stage2Config:
     f1_average: str = "macro"
     seed: int = 0
     no_dtc: bool = False
+    # halo-layout slot-block override (None = 128). The XLA-CPU
+    # simulation mesh materializes every blocked reduce's one-hot
+    # [nb, Et] tensors into the per-shard temp arena (∝ node_block);
+    # capacity simulations pass 32/64 so n_shards arenas fit one host
+    # (see parallel/halopart.build_halo_partition)
+    halo_node_block: Optional[int] = None
     to_undirected: bool = False
     adjacency_method: str = "auto"
     log_every: int = 0  # 0 = silent
@@ -469,7 +475,8 @@ def _train_ktgnn_impl(data, cfg):
         )
 
         part = build_halo_partition(g, cfg.n_shards,
-                                    overlap=cfg.halo_overlap)
+                                    overlap=cfg.halo_overlap,
+                                    node_block=cfg.halo_node_block)
         lean = resolve_memory_policy_sharded(
             part, g, cfg, estimate_plain_hbm_per_shard
         )

@@ -344,3 +344,123 @@ def test_tiered_attention_matches_single_layout(rng):
     for a, b in zip(g_t, g_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def _sel_problem(rng, n=280, e=1400, d=16, npad=288, nb=64):
+    from bridged_gnn_tpu.ops.blocked_segment import make_blocked_ops
+
+    s = rng.integers(0, n, size=e).astype(np.int32)
+    r = np.sort(rng.integers(0, n, size=e)).astype(np.int32)
+    em = np.ones(e, bool)
+    em[-23:] = False
+    ops = make_blocked_ops(s, r, em, npad, node_block=nb)
+    u1 = jnp.asarray(rng.normal(size=(npad, d)).astype(np.float32))
+    u2 = jnp.asarray(rng.normal(size=(npad, d)).astype(np.float32))
+    central = jnp.asarray(rng.random(npad) < 0.5)
+    a1 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    a2 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    return ops, u1, u2, central, a1, a2
+
+
+def test_selective_attention_bitexact_vs_concat(rng):
+    """adapted_attention_sel (branch select folded into the gather
+    index, VERDICT r4 #4) must be BIT-exact vs adapted_attention —
+    forward and all autodiff gradients (same math, same fp order on the
+    consumed branch)."""
+    from bridged_gnn_tpu.ops.fused_attention import adapted_attention_sel
+
+    ops, u1, u2, central, a1, a2 = _sel_problem(rng)
+
+    def run(fn, u1, u2, a1, a2):
+        return fn(
+            ops, u1, u2, central,
+            lambda h: (h * a1).sum(-1, keepdims=True),
+            lambda h: (h * a2).sum(-1, keepdims=True),
+        )
+
+    ref = run(adapted_attention, u1, u2, a1, a2)
+    got = run(adapted_attention_sel, u1, u2, a1, a2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def loss(fn):
+        def f(u1, u2, a1, a2):
+            return (run(fn, u1, u2, a1, a2) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+
+    for a, b in zip(loss(adapted_attention_sel), loss(adapted_attention)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("kernels", [False, True])
+def test_selective_custom_vjp_matches_concat(rng, kernels):
+    """make_adapted_attention_sel (recompute backward; optionally the
+    pass-minimized Mosaic kernels in interpret mode) vs the concatenated
+    custom-VJP form: forward and grads to fp tolerance."""
+    from bridged_gnn_tpu.ops.fused_attention import (
+        make_adapted_attention,
+        make_adapted_attention_sel,
+    )
+
+    ops, u1, u2, central, a1, a2 = _sel_problem(rng)
+    central_f = central.astype(jnp.float32)
+    ref_fn = make_adapted_attention(ops)
+    sel_fn = make_adapted_attention_sel(
+        ops, kernel_fwd=kernels, kernel_bwd=kernels, interpret=kernels
+    )
+    args = (u1, u2, u1, u2, central_f, a1, a2)
+    np.testing.assert_allclose(
+        np.asarray(sel_fn(*args)), np.asarray(ref_fn(*args)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    def loss(fn):
+        def f(u1, u2, a1, a2):
+            return (fn(u1, u2, u1, u2, central_f, a1, a2) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3))(u1, u2, a1, a2)
+
+    for a, b in zip(loss(sel_fn), loss(ref_fn)):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4,
+            atol=5e-4 * scale,
+        )
+
+
+def test_gather_slots_sel_vjp(rng):
+    """The branch-selected gather's custom VJP vs autodiff of the
+    explicit stacked-table gather."""
+    from bridged_gnn_tpu.ops.blocked_segment import padded_block_expand
+
+    ops, u1, u2, central, _, _ = _sel_problem(rng)
+    lay = ops.lay_dst
+    B, nb = lay.num_blocks, lay.node_block
+    n_full = B * nb
+    c_pad = jnp.pad(central.astype(jnp.float32),
+                    (0, n_full - central.shape[0]))
+    c_slot = padded_block_expand(
+        lay, c_pad.reshape(B, nb, 1))[..., 0] > 0.5
+    # cotangents masked to REAL slots: the custom VJP (like gather_slots')
+    # drops padding-slot cotangents — in real use they are always zero
+    # (padding slots carry alpha == 0 through every consumer)
+    cot = jnp.asarray(
+        rng.normal(size=(B, lay.tile_e, u1.shape[1])).astype(np.float32)
+    ) * lay.slot_mask.reshape(B, lay.tile_e, 1)
+
+    def f_sel(u1, u2):
+        return (ops.gather_slots_sel(u1, u2, c_slot) * cot).sum()
+
+    def f_ref(u1, u2):
+        n = u1.shape[0]
+        table = jnp.concatenate([u1, u2], axis=0)
+        idx = lay.other_slot + jnp.where(
+            c_slot.reshape(-1), 0, n).astype(jnp.int32)
+        m = table[idx].reshape(B, lay.tile_e, -1)
+        return (m * cot).sum()
+
+    np.testing.assert_allclose(float(f_sel(u1, u2)), float(f_ref(u1, u2)),
+                               rtol=1e-6)
+    g_s = jax.grad(f_sel, argnums=(0, 1))(u1, u2)
+    g_r = jax.grad(f_ref, argnums=(0, 1))(u1, u2)
+    for a, b in zip(g_s, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

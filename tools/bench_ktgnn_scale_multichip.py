@@ -65,6 +65,7 @@ if POLICY not in ("auto", "lean", "plain"):
         f"BGNN_MC_POLICY={POLICY!r}: the sharded runtime accepts "
         "auto|lean|plain (xla_plain is single-chip only)"
     )
+NODE_BLOCK = _env_int("BGNN_MC_NODE_BLOCK", 0) or None
 SCAN = _env_bool("BGNN_MC_SCAN", True)
 SKIP_MA = _env_bool("BGNN_MC_SKIP_MA", False)
 
@@ -178,7 +179,7 @@ def run_point(n_nodes, epochs=3):
     cfg = Stage2Config(
         hidden=HIDDEN, num_epoch=epochs, scan_epochs=epochs if scan else 0,
         n_shards=N_SHARDS, message_dtype="bfloat16", log_every=1,
-        memory_policy=policy,
+        memory_policy=policy, halo_node_block=NODE_BLOCK,
     )
     # build the backend through the runtime but grab memory stats from
     # the compiled step: reuse internals for honest accounting
@@ -195,7 +196,7 @@ def run_point(n_nodes, epochs=3):
     _PHASE["name"] = "partition_build"
     g = with_self_loops(graph_from_dict(d2))
     t0 = time.time()
-    part = build_halo_partition(g, N_SHARDS)
+    part = build_halo_partition(g, N_SHARDS, node_block=NODE_BLOCK)
     t_part = time.time() - t0
     est = estimate_plain_hbm_per_shard(part, g, cfg)
     edges_real = int(np.asarray(g.edge_mask).sum())
