@@ -29,17 +29,11 @@ def artifact():
 
 def test_past_ceiling_point_trained(artifact):
     big = [p for p in artifact["points"] if p["edges"] > 10_000_000]
-    if not big:
-        pytest.skip(
-            "capacity artifact has no >10M-edge point — XLA-CPU's "
-            "compile of the 8-virtual-device halo step grows ~linearly "
-            "with graph size and host-OOMs this 125 GB simulation host "
-            "at ~655k nodes / 11.8M edges (three instrumented attempts, "
-            "~122-130 GB RSS, policy-independent; see "
-            "tools/bench_ktgnn_scale_multichip.py). Re-run the tool on "
-            "a larger host, or on a real multi-chip slice where this "
-            "compile path is not the bottleneck"
-        )
+    # HARD assertion (VERDICT r4 weak #8): the >10M-edge trained point
+    # exists (round 5, 600k/10.2M lean on the virtual 8-mesh with the
+    # swapfile backstop — DESIGN.md §10); regressing to a skip would
+    # hide losing the capacity north star.
+    assert big, "capacity artifact lost its >10M-edge trained point"
     for p in big:
         losses = p["losses"]
         assert all(np.isfinite(losses)), losses

@@ -149,19 +149,23 @@ def run_point(n_nodes, epochs=3):
     data = clustered_graph(n_nodes)
     # PLAIN per shard is the partition's whole story: at 655k nodes the
     # per-shard plain estimate (~5.2 GiB) fits a real chip's 15.75 GiB
-    # HBM where even the leanest single-chip config OOMs. Simulation
-    # limit (round 4, measured with the [rss] sampler below): XLA-CPU's
-    # compile of the 8-virtual-device halo step grows ~linearly with
-    # graph size and host-OOM-killed three instrumented 655k/11.8M
-    # attempts at ~122-130 GB RSS during the train-phase compile —
-    # scan and non-scan, lean and plain alike (so it is NOT the remat/
-    # recompute HLO, and not execute arenas: no epoch had run). The
-    # real-TPU compile path does not share the hazard (measured flat
-    # 10-21 s to 590k single-chip with arrays passed as jit args).
-    # A 557k/10.03M plain attempt (just past the 10M bar) also died at
-    # ~120+ GB: on this 125 GB / 4-core host the compile wall sits
-    # BELOW the single-chip ceiling, so the >10M-edge trained point
-    # needs a larger simulation host or a real slice.
+    # HBM where even the leanest single-chip config OOMs.
+    #
+    # Simulation limit — CORRECTED in round 5 (round 4 blamed compile;
+    # phase-attributed probes show compile is flat at 1.6-5 GiB /
+    # seconds with arrays as jit args, StableHLO size-invariant): the
+    # wall is the per-shard EXECUTE arenas. Each virtual device
+    # allocates its temp arena (memory_analysis().temp — the CPU
+    # backend materializes the one-hot [nb, Et] expand/reduce tensors
+    # the TPU backend fuses) in the ONE host process, so total RSS ≈
+    # n_shards × temp + base; at 600k/10.2M that is ~130-150 GB for
+    # every config family (five attempts died at ~122 GB). Fix on this
+    # 125 GB host: a disk swapfile backstop (the arenas are touched
+    # ~once per epoch) — `fallocate -l 60G /tmp/swapfile && mkswap
+    # /tmp/swapfile && swapon /tmp/swapfile` — under which the
+    # 600k/10.2M lean point trains end to end. Real slices don't share
+    # the hazard (one arena per chip, TPU-fused and far smaller).
+    # Details: DESIGN.md §10.
     policy = POLICY
     epochs = _env_int("BGNN_MC_EPOCHS", epochs)
     # scan mode: ONE compiled program (train+eval fused per epoch,
