@@ -238,9 +238,11 @@ def main():
         "vs_baseline": round(dev_eps / cpu_eps, 2),
         "best": round(best_eps),
         "samples_ms": [round(d * 1e3, 3) for d in dts],
-        "pct_of_ceiling": round(
-            100.0 * dev_eps / GATHER_CEILING_EDGES_PER_S, 1),
     }
+    if "CPU_FALLBACK" not in metric:
+        # only meaningful against the TPU gather roofline
+        out["pct_of_ceiling"] = round(
+            100.0 * dev_eps / GATHER_CEILING_EDGES_PER_S, 1)
     if "CPU_FALLBACK" in metric:
         # context for the round record: the same op's last measured
         # on-chip sustained throughput (results_spmm_padded_tpu.json /

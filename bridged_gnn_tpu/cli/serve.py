@@ -133,8 +133,9 @@ class ServingApp:
     def _run_live(self, x, x_nodes=None) -> Dict[str, Any]:
         try:
             x = np.asarray(x, dtype=np.float32)
-            nodes = None if x_nodes is None else np.asarray(
-                x_nodes, dtype=np.int64)
+            # no dtype coercion: the predictor validates integer ids
+            # (silent float truncation would update the wrong rows)
+            nodes = None if x_nodes is None else np.asarray(x_nodes)
         except (TypeError, ValueError) as e:
             raise _ApiError(400, f"bad feature payload: {e}")
         with self._lock:
@@ -154,8 +155,7 @@ class ServingApp:
         try:
             x = np.asarray(x, dtype=np.float32)
             nodes = body.get("nodes")
-            nodes = None if nodes is None else np.asarray(
-                nodes, dtype=np.int64)
+            nodes = None if nodes is None else np.asarray(nodes)
         except (TypeError, ValueError) as e:
             raise _ApiError(400, f"bad feature payload: {e}")
         with self._lock:

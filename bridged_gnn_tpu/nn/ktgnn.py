@@ -184,9 +184,13 @@ class AdaptedConv(nn.Module):
                 # paths keep the concatenated form; the XLA paths are
                 # byte/flop-bound and the selective form wins there
                 # (fwd 25.5 -> 16.4 ms at bench scale).
+                # select_gather=True FORCES the selective form even on
+                # the kernel path (A/B benching); None follows the
+                # measured policy above
                 make_fn = (
                     make_adapted_attention_sel
-                    if use_sel and not kernel_ok
+                    if use_sel and (self.select_gather is True
+                                    or not kernel_ok)
                     else make_adapted_attention
                 )
                 a1 = ParamKernel(self.out_channels, name="a_f_t2s")()[:, 0]

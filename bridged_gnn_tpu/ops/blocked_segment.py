@@ -711,6 +711,10 @@ def _bind_blocked_ops_impl(
     # the stacked [2N, D] table by the per-slot destination-domain flag.
     # c_slot is an index ingredient, not a differentiable input (it is a
     # 0/1 domain mask) — its cotangent is zero by construction.
+    # KEEP IN SYNC with fused_attention.make_adapted_attention_sel's
+    # inlined _gather_sel_rows/_gather_sel_vjp (that module re-derives
+    # the same fwd/transpose inside ITS custom VJP, where this op's own
+    # VJP would be bypassed anyway).
     @jax.custom_vjp
     def _gather_sel(u1, u2, c_slot, aux):
         n = u1.shape[0]

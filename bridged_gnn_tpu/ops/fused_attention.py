@@ -582,12 +582,14 @@ def make_adapted_attention_sel(
         is_c = c_slot > 0.5
         m = _gather_sel_rows(u1, u2, c_slot, aux)        # [B, Et, D]
         d = padded_dst_expand(lay, _ud_sel(u1_dst, u2_dst, central))
-        h = jax.nn.leaky_relu(
-            m.astype(jnp.float32) + d.astype(jnp.float32), slope
+        # msg-dtype h/logits: identical fp flow to the concatenated
+        # _forward (bit-exact under bf16 messages)
+        h = jax.nn.leaky_relu(m + d, slope)
+        l1 = jnp.einsum("bed,d->be", h, a1.astype(h.dtype))
+        l2 = jnp.einsum("bed,d->be", h, a2.astype(h.dtype))
+        lm = jnp.where(
+            valid, jnp.where(is_c, l1, l2).astype(jnp.float32), _NEG
         )
-        l1 = jnp.einsum("bed,d->be", h, a1.astype(jnp.float32))
-        l2 = jnp.einsum("bed,d->be", h, a2.astype(jnp.float32))
-        lm = jnp.where(valid, jnp.where(is_c, l1, l2), _NEG)
         ohb = lay.rel_key[:, None, :] == jax.lax.broadcasted_iota(
             jnp.int32, (1, nb, 1), 1
         )
@@ -700,7 +702,7 @@ def make_adapted_attention_sel(
         is_c = c_slot > 0.5
         m = _gather_sel_rows(u1, u2, c_slot, aux)
         d = padded_dst_expand(lay, _ud_sel(u1_dst, u2_dst, central))
-        z = m.astype(jnp.float32) + d.astype(jnp.float32)   # [B, Et, D]
+        z = m + d                   # msg dtype, like the concat backward
 
         dout = dout.astype(jnp.float32)
         dout_slot = padded_block_expand(lay, _pad_blocks(dout))
@@ -712,7 +714,7 @@ def make_adapted_attention_sel(
         dlm = t - alpha * s_slot
         dl1 = dlm * c_slot
         dl2 = dlm * (1.0 - c_slot)
-        h = jax.nn.leaky_relu(z, slope)
+        h = jax.nn.leaky_relu(z, slope).astype(jnp.float32)
         da1 = jnp.einsum("bed,be->d", h, dl1)
         da2 = jnp.einsum("bed,be->d", h, dl2)
         g = jnp.where(z > 0, 1.0, slope)
@@ -787,10 +789,10 @@ def adapted_attention_sel(
     ud_sel = u1_dst * cd + u2_dst * (1.0 - cd)
     d_sel = padded_dst_expand(lay, ud_sel)              # [B, Et, D]
 
-    h = jax.nn.leaky_relu(
-        m_sel.astype(jnp.float32) + d_sel.astype(jnp.float32),
-        negative_slope,
-    )
+    # msg-dtype h and logits — the same fp flow as adapted_attention, so
+    # the selective form is bit-exact vs the concatenated one under
+    # bf16 messages too (pinned in tests)
+    h = jax.nn.leaky_relu(m_sel + d_sel, negative_slope)
     l1 = logit_fn1(h)[..., 0].astype(jnp.float32)       # [B, Et]
     l2 = logit_fn2(h)[..., 0].astype(jnp.float32)
     logit = jnp.where(is_c, l1, l2)

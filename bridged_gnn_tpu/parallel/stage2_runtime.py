@@ -90,7 +90,11 @@ def _norm_outs(outs):
 
 
 def _is_single_head(cfg) -> bool:
-    return bool(getattr(cfg, "no_dtc", False)) or cfg.model_name != "KTGNN"
+    """Same predicate as train/stage2.py's sharded dispatch (the
+    backends only ever see KTGNN / KTGNN_noDTC — _train_ktgnn_impl
+    rejects everything else before construction)."""
+    return bool(getattr(cfg, "no_dtc", False)) \
+        or cfg.model_name == "KTGNN_noDTC"
 
 
 def _confusion_counts(pred, y, mask, num_classes):

@@ -97,22 +97,32 @@ class KTGNNPredictor:
         stay padded-static, so the cached jitted program is reused."""
         g = self.graph
         n, d = g.num_nodes, g.num_features
+        # functional on-device update: g.x is already a device array —
+        # .at[].set uploads only the new rows; a np.asarray round trip
+        # would device_get the full padded matrix per request (blocking
+        # tunnel transfer under the serving lock)
         if nodes is None:
             x = np.asarray(x, dtype=np.float32)
             if x.shape != (n, d):
                 raise ValueError(
                     f"features must be [{n}, {d}], got {list(x.shape)}")
-            x_new = jnp.asarray(np.asarray(g.x)).at[:n].set(x)
+            x_new = g.x.at[:n].set(jnp.asarray(x, g.x.dtype))
         else:
-            nodes = np.asarray(nodes, dtype=np.int32)
+            nodes = np.asarray(nodes)
+            if (nodes.ndim != 1
+                    or not np.issubdtype(nodes.dtype, np.integer)):
+                raise ValueError(
+                    f"'nodes' must be a 1-D list of integer ids in "
+                    f"[0, {n})")
+            if (nodes < 0).any() or (nodes >= n).any():
+                raise ValueError(f"'nodes' must be ids in [0, {n})")
             rows = np.asarray(x, dtype=np.float32)
             if rows.shape != (len(nodes), d):
                 raise ValueError(
                     f"rows must be [{len(nodes)}, {d}], got "
                     f"{list(rows.shape)}")
-            if nodes.ndim != 1 or (nodes < 0).any() or (nodes >= n).any():
-                raise ValueError(f"'nodes' must be ids in [0, {n})")
-            x_new = jnp.asarray(np.asarray(g.x)).at[nodes].set(rows)
+            x_new = g.x.at[jnp.asarray(nodes, jnp.int32)].set(
+                jnp.asarray(rows, g.x.dtype))
         return g.replace(x=x_new)
 
     def predict_live(self, x: Optional[np.ndarray] = None,

@@ -66,14 +66,24 @@ def test_target_masks_roundtrip(a2d, a2d_dict):
         assert got == int(np.ceil(n_c * 0.6))
 
 
-def test_shipped_edges_never_violate_deterministic_filters(a2d, a2d_dict):
-    """LOGIC oracle: every shipped cross edge must pass filters 2-4
-    computed from the reconstructed inputs + shipped-ckpt classifier —
-    zero tolerance. Certifies the filter logic, the classifier path and
-    the mask reconstruction in one assertion (filter 1's victim
-    assignment is the author's GPU ordering; see module docs)."""
-    src_d, tar_d = a2d["src"], a2d["tar"]
-    sd = a2d["sd"]
+@pytest.mark.parametrize("name", ["office_amazon2dslr",
+                                  "office_amazon2webcam"])
+def test_shipped_edges_never_violate_deterministic_filters(
+        name, a2d_dict, a2w_dict):
+    """LOGIC oracle on BOTH shipped artifacts: every shipped cross edge
+    must pass filters 2-4 computed from the reconstructed inputs +
+    shipped-ckpt classifier — zero tolerance. Filter 4 runs at the
+    verified threshold 0.8 (the office recipes pass no --thres_feat_sim,
+    so the reference used the argparse default — confirmed from the
+    artifacts: min shipped cross cosine 0.8005 / 0.8000). Certifies
+    filter logic, classifier path and mask reconstruction in one
+    assertion (filter 1's victim assignment is the author's GPU
+    ordering; see module docs)."""
+    shipped = dict(a2d_dict if name == "office_amazon2dslr"
+                   else a2w_dict)
+    sd = load_torch_state_dict(
+        REFERENCE_DIR + f"/ckpt/model_AdvLearner_{name}_best.ckpt")
+    src_d, tar_d, m_src, m_tar = reconstruct_office_domains(shipped, name)
     with torch.no_grad():
         zs = oracle.mlp_backbone(oracle.t(src_d["x"]), sd,
                                  "source_learner.backbone")
@@ -81,11 +91,11 @@ def test_shipped_edges_never_violate_deterministic_filters(a2d, a2d_dict):
         pred_s = oracle.classify(zs, sd).argmax(1).numpy()
         pred_t = oracle.classify(zt, sd).argmax(1).numpy()
 
-    cm = np.asarray(a2d_dict["central_mask"]).astype(bool)
-    ei = np.asarray(a2d_dict["edge_index"])
+    cm = np.asarray(shipped["central_mask"]).astype(bool)
+    ei = np.asarray(shipped["edge_index"])
     sel = cm[ei[0]] & ~cm[ei[1]]
-    e0 = np.array([a2d["m_src"][int(u)] for u in ei[0][sel]])
-    e1 = np.array([a2d["m_tar"][int(v)] for v in ei[1][sel]])
+    e0 = np.array([m_src[int(u)] for u in ei[0][sel]])
+    e1 = np.array([m_tar[int(v)] for v in ei[1][sel]])
 
     # filter 2: endpoint pred contradicts training label
     assert (pred_s[e0] == src_d["y"][e0]).all()
@@ -93,20 +103,21 @@ def test_shipped_edges_never_violate_deterministic_filters(a2d, a2d_dict):
     assert not viol.any()
     # filter 3: endpoint preds must agree
     assert (pred_s[e0] == pred_t[e1]).all()
-    # filter 4: raw-feature cosine >= 0.0 (a2d recipe threshold)
+    # filter 4: raw-feature cosine >= 0.8 (verified recipe default)
     num = (src_d["x"][e0] * tar_d["x"][e1]).sum(1)
     den = np.maximum(
         np.linalg.norm(src_d["x"][e0], axis=1)
         * np.linalg.norm(tar_d["x"][e1], axis=1), 1e-8)
-    assert (num / den >= 0.0).all()
+    assert (num / den >= 0.8 - 1e-6).all()
 
 
 @pytest.mark.slow
 def test_end_to_end_reproduction_iou(a2d, a2d_dict):
     """Full framework pipeline from the shipped ckpt reproduces the
-    shipped a2d graph at IoU >= 0.93 in reference_compat mode (measured
-    0.946; the gap is the author-GPU filter-1 assignment, module docs),
-    with x/y/masks bit-exact."""
+    shipped a2d graph at IoU >= 0.94 in reference_compat mode (measured
+    0.9525 CPU-pinned with the verified 0.8 cross filter-4 threshold;
+    the gap is the author-GPU filter-1 assignment, module docs), with
+    x/y/masks bit-exact."""
     from bridged_gnn_tpu.bridge.build import gen_bridged_graph
 
     model = AdversarialLearnerV2(
@@ -119,6 +130,7 @@ def test_end_to_end_reproduction_iou(a2d, a2d_dict):
     out = gen_bridged_graph(
         model, variables, g_src, None, g_tar, None,
         a2d["m_src"], a2d["m_tar"], k_cross=20, k_within=3,
+        thres_feat_sim=0.8,  # verified recipe default (module docs)
         check_cross=True, check_within=True, reference_compat=True,
     )
     for key in ("y", "train_mask", "val_mask", "test_mask",
@@ -129,7 +141,7 @@ def test_end_to_end_reproduction_iou(a2d, a2d_dict):
     want = _edge_set(np.asarray(a2d_dict["edge_index"]))
     got = _edge_set(out["edge_index"])
     iou = len(want & got) / len(want | got)
-    assert iou >= 0.93, f"a2d edge-set IoU regressed: {iou:.4f}"
+    assert iou >= 0.94, f"a2d edge-set IoU regressed: {iou:.4f}"
     # self-loops (the original UD edges) must survive exactly
     n = np.asarray(a2d_dict["x"]).shape[0]
     assert all((i, i) in got for i in range(n))

@@ -362,14 +362,19 @@ def _sel_problem(rng, n=280, e=1400, d=16, npad=288, nb=64):
     return ops, u1, u2, central, a1, a2
 
 
-def test_selective_attention_bitexact_vs_concat(rng):
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_selective_attention_bitexact_vs_concat(rng, dtype):
     """adapted_attention_sel (branch select folded into the gather
     index, VERDICT r4 #4) must be BIT-exact vs adapted_attention —
     forward and all autodiff gradients (same math, same fp order on the
-    consumed branch)."""
+    consumed branch) — under f32 AND bf16 messages (the production
+    message_dtype; review r5 caught an f32 upcast that silently broke
+    bf16 bit-exactness)."""
     from bridged_gnn_tpu.ops.fused_attention import adapted_attention_sel
 
     ops, u1, u2, central, a1, a2 = _sel_problem(rng)
+    u1 = u1.astype(dtype)
+    u2 = u2.astype(dtype)
 
     def run(fn, u1, u2, a1, a2):
         return fn(

@@ -66,6 +66,7 @@ if POLICY not in ("auto", "lean", "plain"):
         "auto|lean|plain (xla_plain is single-chip only)"
     )
 NODE_BLOCK = _env_int("BGNN_MC_NODE_BLOCK", 0) or None
+EPOCHS = _env_int("BGNN_MC_EPOCHS", 3)
 SCAN = _env_bool("BGNN_MC_SCAN", True)
 SKIP_MA = _env_bool("BGNN_MC_SKIP_MA", False)
 
@@ -167,7 +168,7 @@ def run_point(n_nodes, epochs=3):
     # the hazard (one arena per chip, TPU-fused and far smaller).
     # Details: DESIGN.md §10.
     policy = POLICY
-    epochs = _env_int("BGNN_MC_EPOCHS", epochs)
+    epochs = EPOCHS
     # scan mode: ONE compiled program (train+eval fused per epoch,
     # counts-based device eval) instead of two separately-arena'd
     # programs — the XLA-CPU allocator holds each program's temp arena,

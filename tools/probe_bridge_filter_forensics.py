@@ -105,7 +105,9 @@ def analyze(name):
     num = (src_d["x"][e0] * tar_d["x"][e1]).sum(1)
     den = np.maximum(np.linalg.norm(src_d["x"][e0], axis=1)
                      * np.linalg.norm(tar_d["x"][e1], axis=1), 1e-8)
-    r4 = num / den < 0.0
+    # run.sh passes no --thres_feat_sim for office -> argparse default
+    # 0.8 (verified: min shipped cross cosine 0.8005/0.8000)
+    r4 = num / den < 0.8
     r234 = r2 | r3 | r4
     r234_set = set(map(tuple, prop[:, r234].T.tolist()))
     ship_hit_r234 = len(ship & r234_set)

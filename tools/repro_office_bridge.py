@@ -28,6 +28,13 @@ sys.path.insert(0, repo)
 
 from bridged_gnn_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
 
+# CPU-pinned for determinism: the compat mode's misaligned filter-1 cut
+# is sensitive to within-row top-k ORDER, and backend fp differences
+# (CPU vs the tunneled chip) flip near-ties — measured ~1-5 IoU points
+# of wobble on the within-domain kinds. One fixed backend makes the
+# artifact reproducible; the sensitivity itself is part of the finding
+# (the reference's own GPU ordering is the irrecoverable piece).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
 honor_jax_platforms_env()
 
 import numpy as np  # noqa: E402
@@ -42,9 +49,15 @@ from bridged_gnn_tpu.nn.stage1 import AdversarialLearnerV2  # noqa: E402
 REF = os.environ.get("BGNN_REFERENCE_DIR", "/root/reference")
 
 RECIPES = {
-    # run.sh:11-13 / :17-19
-    "office_amazon2dslr": dict(k_cross=20, k_within=3),
-    "office_amazon2webcam": dict(k_cross=8, k_within=3),
+    # run.sh:11-13 / :17-19. Neither office recipe passes
+    # --thres_feat_sim, so the reference ran the CROSS filter-4 cosine
+    # cut at the argparse DEFAULT 0.8 (main_bridged_graph.py:380) —
+    # confirmed from the artifact itself: min cross-edge cosine is
+    # 0.8005 (a2d) / 0.8000 (a2w) over every shipped cross edge.
+    "office_amazon2dslr": dict(k_cross=20, k_within=3,
+                               thres_feat_sim=0.8),
+    "office_amazon2webcam": dict(k_cross=8, k_within=3,
+                                 thres_feat_sim=0.8),
 }
 
 
