@@ -587,6 +587,14 @@ class KTGNN(nn.Module):
     msg_dtype: Optional[str] = None
     # sow per-conv block-logit-spread diagnostics (check_numerics mode)
     debug_spread: bool = False
+    # per-conv branch-selected gather policy (see AdaptedConv.
+    # select_gather): None = measured default (selective on non-kernel
+    # fused paths), True forces selective everywhere — the serving
+    # predictor sets True because the SELECTIVE forward kernel wins
+    # sustained fwd-only (10.66 vs 12.30 ms at bench scale,
+    # results_fused_sustained_tpu.json) while training keeps the
+    # concatenated kernels (fastest sustained fwd+bwd: 50.8 ms)
+    select_gather: Optional[bool] = None
     # feature-complementor options (reference KTGNN.py:340-341; all run.sh
     # configs use need_complement=False)
     need_complement: bool = False
@@ -627,6 +635,7 @@ class KTGNN(nn.Module):
                 fused_kernel_bwd=self.fused_kernel_bwd,
                 msg_dtype=self.msg_dtype,
                 debug_spread=self.debug_spread,
+                select_gather=self.select_gather,
             )(x, adj, cm, nm, halo)
             if self.use_bn:
                 x = MaskedBatchNorm(name=f"bns_{i}", axis_name=stats_axis)(
@@ -646,6 +655,7 @@ class KTGNN(nn.Module):
             fused_kernel_bwd=self.fused_kernel_bwd,
             msg_dtype=self.msg_dtype,
             debug_spread=self.debug_spread,
+            select_gather=self.select_gather,
         )(x, adj, cm, nm, halo)
         clf_target = AdaptedConv(
             self.num_classes, root_weight=self.root_weight,
@@ -655,6 +665,7 @@ class KTGNN(nn.Module):
             fused_kernel_bwd=self.fused_kernel_bwd,
             msg_dtype=self.msg_dtype,
             debug_spread=self.debug_spread,
+            select_gather=self.select_gather,
         )
         x_trans = ClfTransformer(self.hidden, name="clf_transformer",
                                  stats_axis=stats_axis)(

@@ -49,7 +49,14 @@ class KTGNNPredictor:
         if kernel_fwd is None:
             kernel_fwd = pallas_fused.auto_kernel()
         if kernel_fwd and hasattr(model, "fused_kernel_fwd"):
-            model = model.clone(fused_kernel_fwd=True)
+            # fwd-only serving: the SELECTIVE forward kernel wins
+            # sustained (10.66 vs 12.30 ms at bench scale,
+            # results_fused_sustained_tpu.json); training keeps the
+            # concatenated kernels (fastest sustained fwd+bwd)
+            clone_kw = dict(fused_kernel_fwd=True)
+            if hasattr(model, "select_gather"):
+                clone_kw["select_gather"] = True
+            model = model.clone(**clone_kw)
             if adjacency_method == "auto":
                 adjacency_method = "blocked"
             self.adj = adjacency_from_graph(
